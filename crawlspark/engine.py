@@ -1,0 +1,229 @@
+"""The crawl-wave engine (SURVEY.md §3.2): the reference's sequential
+``while pending: fetch-parse-append`` loop re-expressed as deterministic,
+resumable micro-batch waves of DataFrame dataflow.
+
+One wave = one batch DAG:
+
+    frontier scan -> pending filter -> robots broadcast join -> budget join
+    -> per-host window rank -> top-k -> token-bucket schedule -> salted
+    repartition -> fetch (native exprs or pandas UDF) -> span rows + crawl
+    log -> fanout discoveries -> dedup vs seen (exact anti-join | partitioned
+    bloom) -> frontier merge -> per-partition checkpoint.
+
+Determinism: every ordering is a pure sort key; the canonical crawl order
+(sched.CANONICAL_ORDER_COLS) reproduces the sequential reference's exact
+fetch order at ANY parallelism — equality vs tests/oracle_ref.py is the
+correctness gate (BASELINE.json:14).
+
+Scale: state round-trips through partitioned parquet each wave (Iceberg
+snapshots in production), so lineage stays one wave deep; the frontier is
+the only full-snapshot table (an Iceberg MERGE in prod); crawl_log/spans/
+seen-deltas are append-only wave partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawlspark import assemble, fetch, fixtures, metrics, polite, robots, sched, seen
+from crawlspark.state import StateStore
+
+LOG_COLS = [
+    "url_h",
+    "url",
+    "host",
+    "kind",
+    "hotel_id",
+    "listing_rank",
+    "page_offset",
+    "depth",
+    "wave",
+    "fetched_at",
+    "partition_id",
+]
+
+_SEEN_KEY_SCHEMA = "url_h long"
+
+
+@dataclass
+class EngineConfig:
+    n_hotels: int = 100
+    seen_mode: str = "exact"  # "exact" | "bloom"
+    bloom_partitions: int = 16
+    bloom_m: int = 1 << 17
+    bloom_k: int = 7
+    take_k: int | None = None  # per-host per-wave cap (G3); None = drain
+    use_pandas_fetch: bool = False  # J2 path instead of native exprs
+    salt_partitions: int = 16  # K1: fetch-stage salting
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig, state_dir: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = StateStore(spark, state_dir)
+        self.seeds = fixtures.seed_hotels_df(spark, cfg.n_hotels)
+        self.robots_rules = fixtures.robots_rules_df(spark)
+        self.budgets = fixtures.politeness_budget_df(spark)
+
+    # ------------------------------------------------------------------ state
+
+    def bootstrap(self) -> int:
+        """Create wave-0 state (or return the wave to resume from — exact
+        resume from the last committed manifest, BASELINE.json:14)."""
+        last = self.store.latest_wave()
+        if last is not None:
+            return last
+        fr = fixtures.initial_frontier_df(self.spark, self.cfg.n_hotels)
+        self.store.write_snapshot(fr, "frontier", 0)
+        if self.cfg.seen_mode == "bloom":
+            # seed the bloom with the bootstrap URLs (frontier membership)
+            st0 = seen.empty_state(
+                self.spark, self.cfg.bloom_partitions, self.cfg.bloom_m, self.cfg.bloom_k
+            )
+            _, st1 = seen.filter_new(
+                fr.select("url_h"), st0, self.cfg.bloom_partitions, self.cfg.bloom_m, self.cfg.bloom_k
+            )
+            self.store.write_snapshot(st1, "seen_bloom", 0)
+        else:
+            self.store.write_delta(fr.select("url_h"), "seen", 0)
+        self.store.commit(0, {"config": {"seen_mode": self.cfg.seen_mode,
+                                         "bloom_partitions": self.cfg.bloom_partitions,
+                                         "n_hotels": self.cfg.n_hotels}})
+        return 0
+
+    def _seen_keys(self, upto_wave: int) -> DataFrame:
+        df = self.store.read_deltas("seen", upto_wave)
+        if df is None:
+            return self.spark.createDataFrame([], _SEEN_KEY_SCHEMA)
+        return df.select("url_h")
+
+    def _crawl_log_raw(self, upto_wave: int) -> DataFrame | None:
+        return self.store.read_deltas("crawl_log", upto_wave)
+
+    # ------------------------------------------------------------------- step
+
+    def step(self) -> bool:
+        """Run one wave; returns False when the frontier is drained."""
+        cfg = self.cfg
+        wave = self.store.latest_wave()
+        assert wave is not None, "bootstrap() first"
+        frontier = self.store.read_snapshot("frontier", wave)
+        pending = frontier.filter(F.col("state") == "pending")
+        if pending.isEmpty():
+            return False
+
+        # robots (broadcast) -> blocked split
+        ann = robots.annotate(pending, self.robots_rules)
+        blocked = ann.filter(F.col("blocked"))
+        cand = ann.filter(~F.col("blocked"))
+
+        # budgets + per-host priority rank + top-k + token-bucket schedule
+        cand = polite.attach_budget(cand, self.budgets)
+        ranked = sched.rank(cand)
+        batch = sched.take(ranked, cfg.take_k)
+        deferred = (
+            ranked.filter(F.col("host_rank") > cfg.take_k) if cfg.take_k else None
+        )
+        prior = None
+        log_prev = self._crawl_log_raw(wave)
+        if log_prev is not None:
+            prior = log_prev.groupBy("host").agg(F.count("*").alias("n_prior"))
+        batch = polite.schedule(batch, prior)
+
+        # K1 salted repartition for the fetch stage (defeat per-host skew),
+        # K3 lineage capture
+        batch = batch.repartition(
+            cfg.salt_partitions,
+            F.col("host"),
+            F.pmod(F.xxhash64(F.col("url_h").cast("string")), F.lit(cfg.salt_partitions)),
+        )
+        if cfg.use_pandas_fetch:
+            fetched = fetch.simulate_pandas(batch, cfg.salt_partitions)
+        else:
+            fetched = fetch.simulate_native(batch)
+        fetched = fetched.withColumn("partition_id", F.spark_partition_id()).persist()
+
+        log_new = fetched.withColumn("wave", F.lit(wave)).select(*LOG_COLS)
+        span_rows = (
+            fetched.filter(F.col("spans").isNotNull())
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select(
+                "doc_id",
+                F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"),
+                F.col("s.media_ref").alias("media_ref"),
+                F.col("s.offset").alias("offset"),
+            )
+        )
+
+        # fanout + dedup vs seen (frontier membership)
+        disc = fetch.discoveries(fetched, self.seeds, wave + 1).dropDuplicates(["url_h"])
+        if cfg.seen_mode == "bloom":
+            bloom_state = self.store.read_snapshot("seen_bloom", wave)
+            new_rows, new_bloom = seen.filter_new(
+                disc, bloom_state, cfg.bloom_partitions, cfg.bloom_m, cfg.bloom_k
+            )
+            disc_new = new_rows.select(*fixtures.FRONTIER_COLS)
+            self.store.write_snapshot(new_bloom, "seen_bloom", wave + 1)
+        else:
+            seen_keys = self._seen_keys(wave)
+            disc_new = seen.dedup_exact(disc, seen_keys).select(*fixtures.FRONTIER_COLS)
+            self.store.write_delta(disc_new.select("url_h"), "seen", wave + 1)
+
+        # frontier merge: history + state transitions + new discoveries
+        done = batch.select(*[c for c in fixtures.FRONTIER_COLS if c != "state"]).withColumn(
+            "state", F.lit("done")
+        )
+        blk = blocked.select(*[c for c in fixtures.FRONTIER_COLS if c != "state"]).withColumn(
+            "state", F.lit("blocked")
+        )
+        parts = [frontier.filter(F.col("state") != "pending"), done.select(*fixtures.FRONTIER_COLS), blk.select(*fixtures.FRONTIER_COLS)]
+        if deferred is not None:
+            parts.append(deferred.select(*fixtures.FRONTIER_COLS))
+        parts.append(disc_new)
+        new_frontier = parts[0]
+        for p in parts[1:]:
+            new_frontier = new_frontier.unionByName(p)
+
+        self.store.write_delta(log_new, "crawl_log", wave)
+        self.store.write_delta(span_rows, "spans", wave)
+        self.store.write_snapshot(new_frontier, "frontier", wave + 1)
+        self.store.commit(wave + 1, {"config": {"seen_mode": cfg.seen_mode}})
+        fetched.unpersist()
+        return True
+
+    def run(self, max_waves: int = 50) -> int:
+        wave = self.bootstrap()
+        n = 0
+        while n < max_waves and self.step():
+            n += 1
+        return n
+
+    # ---------------------------------------------------------------- outputs
+
+    def crawl_log(self) -> DataFrame:
+        """Committed crawl log with the canonical global crawl_seq (G4) —
+        the order that must equal the sequential reference's (BASELINE.json:6)."""
+        wave = self.store.latest_wave() or 0
+        raw = self._crawl_log_raw(wave)
+        if raw is None:
+            return self.spark.createDataFrame([], T.StructType([]))
+        keyed = sched.with_canonical_key(raw)
+        return sched.assign_global_seq(keyed).drop("ord_phase")
+
+    def documents(self) -> DataFrame:
+        """Assembled interleaved documents (BASELINE.json:15 shape)."""
+        wave = self.store.latest_wave() or 0
+        rows = self.store.read_deltas("spans", wave)
+        if rows is None:
+            return fixtures.documents_interleaved_df(self.spark, 0)
+        return assemble.collect_spans(rows.drop("wave"))
+
+    def wave_stats(self) -> DataFrame:
+        wave = self.store.latest_wave() or 0
+        return metrics.wave_stats(self._crawl_log_raw(wave))

@@ -1,0 +1,88 @@
+"""Priority scheduler (SURVEY.md §2 G1-G4): the Spark SQL priority queue that
+replaces the reference's implicit sequential loop order.
+
+Ordering is ALWAYS a pure sort key — (priority, depth, listing_rank,
+page_offset, url_h) per host for scheduling, and the canonical global key
+(phase, listing_rank, depth, page_offset, host, url_h) for crawl_seq — never
+execution order, never monotonically_increasing_id.  That is what makes a
+distributed engine reproduce the sequential reference's exact crawl ordering
+(BASELINE.json:6,14) at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HOST_ORDER = ["priority", "depth", "listing_rank", "page_offset", "url_h"]
+
+# Canonical global crawl order — reproduces the reference's sequential loop:
+# all listing pages in oa order (host tie-break), then per seed rank each
+# hotel's overview then its review pages in or order.
+CANONICAL_ORDER_COLS = ["ord_phase", "listing_rank", "depth", "page_offset", "host", "url_h"]
+
+
+def with_canonical_key(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "ord_phase", F.when(F.col("kind") == "listing", F.lit(0)).otherwise(F.lit(1))
+    )
+
+
+def rank(df: DataFrame) -> DataFrame:
+    """Per-host priority rank (G1): listing-depth priority first
+    (BASELINE.json:6 'listing pages before review-detail pages')."""
+    w = Window.partitionBy("host").orderBy(*HOST_ORDER)
+    return df.withColumn("host_rank", F.row_number().over(w))
+
+
+def take(df: DataFrame, k: int | None) -> DataFrame:
+    """Top-k per host per wave (G3) — a rank filter, never a global
+    sort+limit, so parallelism is preserved."""
+    if k is None:
+        return df
+    return df.filter(F.col("host_rank") <= k)
+
+
+def assign_global_seq(
+    df: DataFrame, order_cols=None, seq_col: str = "crawl_seq", num_parts: int | None = None
+) -> DataFrame:
+    """Deterministic, scalable global sequence assignment (G4).
+
+    A naive row_number over a global Window funnels everything through one
+    partition; instead: range-partition + sort by the key (each partition
+    holds a contiguous key range), then per-partition row_number plus a
+    broadcast map of partition-start offsets.  Two jobs, no single-partition
+    stage — survives a 100× scale-up."""
+    order_cols = order_cols or CANONICAL_ORDER_COLS
+    spark = df.sparkSession
+    parts = num_parts or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.persist()
+    try:
+        counts = sorted(
+            (r["_pid"], r["c"])
+            for r in d.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+        )
+        offsets, acc = {}, 0
+        for pid, c in counts:
+            offsets[pid] = acc
+            acc += c
+        off_df = F.broadcast(
+            spark.createDataFrame(
+                [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+            )
+        )
+        w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+        out = (
+            d.join(off_df, "_pid")
+            .withColumn(seq_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
+            .drop("_pid", "_off")
+        )
+        # materialize before unpersist so the lineage doesn't recompute the
+        # (sampled) range partitioning differently later
+        out = out.localCheckpoint(eager=True)
+    finally:
+        d.unpersist()
+    return out

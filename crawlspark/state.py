@@ -1,0 +1,82 @@
+"""Per-partition checkpointed crawl state with exact resume (SURVEY.md §2 A6,
+BASELINE.json:6 "crawl state checkpointed per partition for exact resume").
+
+Layout under a state root (parquet locally; Iceberg tables in production —
+the schemas are identical, see io.py TableIO):
+
+    frontier/wave=K/      full snapshot of the live frontier after wave K
+    crawl_log/wave=K/     append-only delta (fetches of wave K)
+    spans/wave=K/         append-only delta (span rows emitted by wave K)
+    seen/wave=K/          exact mode: delta of new url_h; bloom mode: full
+                          shard blobs (small: P x m/8 bytes)
+    manifest-K.json       commit marker, written LAST via atomic rename
+
+A wave is visible iff its manifest exists, so a killed run resumes from the
+last complete wave and any partial wave-K+1 files are simply overwritten —
+the same commit discipline Iceberg snapshots give on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifests ----------------------------------------------------------
+
+    def _manifest_path(self, wave: int) -> str:
+        return os.path.join(self.root, f"manifest-{wave:05d}.json")
+
+    def latest_wave(self) -> Optional[int]:
+        waves = [
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(self.root)
+            if f.startswith("manifest-") and f.endswith(".json")
+        ]
+        return max(waves) if waves else None
+
+    def manifest(self, wave: int) -> dict:
+        with open(self._manifest_path(wave)) as fh:
+            return json.load(fh)
+
+    def commit(self, wave: int, meta: dict) -> None:
+        tmp = self._manifest_path(wave) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"wave": wave, **meta}, fh)
+        os.replace(tmp, self._manifest_path(wave))  # atomic
+
+    # -- tables --------------------------------------------------------------
+
+    def _dir(self, table: str, wave: int) -> str:
+        return os.path.join(self.root, table, f"wave={wave}")
+
+    def write_snapshot(self, df: DataFrame, table: str, wave: int) -> None:
+        df.write.mode("overwrite").parquet(self._dir(table, wave))
+
+    def write_delta(self, df: DataFrame, table: str, wave: int) -> None:
+        # the wave= directory partition carries the wave value; a data column
+        # of the same name would collide on partitioned read
+        if "wave" in df.columns:
+            df = df.drop("wave")
+        df.write.mode("overwrite").parquet(self._dir(table, wave))
+
+    def read_snapshot(self, table: str, wave: int) -> DataFrame:
+        return self.spark.read.parquet(self._dir(table, wave))
+
+    def read_deltas(self, table: str, upto_wave: int, schema=None) -> Optional[DataFrame]:
+        """Union of wave deltas <= upto_wave, via partition-pruned read of the
+        wave= directory tree (uncommitted later waves are pruned out)."""
+        base = os.path.join(self.root, table)
+        if not os.path.isdir(base) or not os.listdir(base):
+            return None
+        df = self.spark.read.option("basePath", base).parquet(base)
+        return df.filter(df["wave"] <= upto_wave)

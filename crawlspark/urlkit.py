@@ -1,0 +1,98 @@
+"""URL kernel — canonicalization, host extraction, 64-bit hashing.
+
+All pure native column expressions (whole-stage-codegen-able, BASELINE.json:15
+"no per-row Python").  The canonicalization pipeline is deliberately written
+with `regexp_extract`/`regexp_replace`/higher-order array functions only, so
+the DuckDB oracle SQL in __spark_entry__.py can mirror it token-for-token
+(DuckDB has no parse_url).
+
+Reference behavior note: the reference builds URLs by template arithmetic so
+they are canonical by construction [SURVEY.md §2 C1]; the target mandates an
+explicit canonicalize + xxhash64 step (BASELINE.json:6 "URL canonicalization
++ 64-bit hashing").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Query params dropped during canonicalization (tracking noise).
+_DROP_PARAM_RE = r"^(utm_[^=]*|ref|fbclid|gclid)="
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def strip_fragment(url: Column) -> Column:
+    return F.regexp_replace(F.trim(url), r"#.*", "")
+
+
+def scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def hostport(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1))
+
+
+def host(url: Column) -> Column:
+    """Host without port, lowercased."""
+    return F.regexp_replace(hostport(strip_fragment(url)), r":\d+$", "")
+
+
+def _port(hp: Column) -> Column:
+    return F.regexp_extract(hp, r":(\d+)$", 1)
+
+
+def _path(url: Column) -> Column:
+    p = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    p = F.regexp_replace(p, r"/+$", "")
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def _query(url: Column) -> Column:
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda x: (x != "") & ~x.rlike(_DROP_PARAM_RE),
+        )
+    )
+    return F.array_join(kept, "&")
+
+
+def canonicalize(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, default port stripped, fragment
+    stripped, trailing slashes trimmed, tracking params dropped, remaining
+    query params sorted.  Idempotent (property-tested)."""
+    u = strip_fragment(url)
+    sch = scheme(u)
+    hp = hostport(u)
+    hst = F.regexp_replace(hp, r":\d+$", "")
+    prt = _port(hp)
+    keep_port = (
+        (prt != "")
+        & ~((sch == F.lit("https")) & (prt == "443"))
+        & ~((sch == F.lit("http")) & (prt == "80"))
+    )
+    q = _query(u)
+    return F.concat(
+        sch,
+        F.lit("://"),
+        hst,
+        F.when(keep_port, F.concat(F.lit(":"), prt)).otherwise(F.lit("")),
+        _path(u),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def hash64(url: Column) -> Column:
+    """Signed 64-bit xxhash64 of the (already canonical) URL — the engine's
+    universal URL key (BASELINE.json:6 '64-bit hashing')."""
+    return F.xxhash64(url)
+
+
+def with_url_key(df, url_col: str = "url"):
+    """Attach canonical form + hash: the standard pre-frontier projection."""
+    return df.withColumn("url_canon", canonicalize(F.col(url_col))).withColumn(
+        "url_h", hash64(F.col("url_canon"))
+    )

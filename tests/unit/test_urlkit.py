@@ -1,0 +1,52 @@
+"""URL canonicalization (C1-C3): golden cases + idempotence property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlspark import urlkit
+
+CASES = [
+    ("HTTPS://WWW.Example.COM:443/Hotel/", "https://www.example.com/Hotel"),
+    ("http://Example.com:80/a//", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://h.com/p?b=2&a=1", "https://h.com/p?a=1&b=2"),
+    ("https://h.com/p?utm_source=x&a=1&fbclid=zz", "https://h.com/p?a=1"),
+    ("https://h.com/p?ref=tw", "https://h.com/p"),
+    ("https://h.com/p#frag", "https://h.com/p"),
+    ("https://h.com", "https://h.com/"),
+    ("  https://h.com/x  ", "https://h.com/x"),
+]
+
+
+def test_golden_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [r["c"] for r in df.select(urlkit.canonicalize(F.col("url")).alias("c")).collect()]
+    for (u, want), g in zip(CASES, got):
+        assert g == want, (u, g, want)
+
+
+def test_idempotent(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    once = urlkit.canonicalize(F.col("url"))
+    df2 = df.select(once.alias("c1")).select(
+        "c1", urlkit.canonicalize(F.col("c1")).alias("c2")
+    )
+    assert df2.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_host_extraction(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://Ex.COM:443/a?q=1#f",), ("http://h0.x.example/y",)], "url string"
+    )
+    got = [r["h"] for r in df.select(urlkit.host(F.col("url")).alias("h")).collect()]
+    assert got == ["ex.com", "h0.x.example"]
+
+
+def test_hash_changes_with_canonical_form(spark):
+    df = spark.createDataFrame([("https://h.com/p?b=2&a=1",)], "url string")
+    out = urlkit.with_url_key(df).collect()[0]
+    assert out["url_canon"] == "https://h.com/p?a=1&b=2"
+    from crawlspark.xxh import xxh64_str
+
+    assert out["url_h"] == xxh64_str(out["url_canon"])
