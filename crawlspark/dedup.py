@@ -1,0 +1,251 @@
+"""Deduplication operators for a training-data pipeline over ``documents``:
+exact (content-hash groupBy), word-shingle Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- candidate generation is always *bucketed* (shared shingle / LSH band /
+  simhash band / hyperplane bucket) so the pair join is an equi join on a
+  bucket key, never an O(n²) cross join;
+- hot buckets are capped (``max_df`` stop-shingle cut, the standard trick)
+  so one viral shingle can't create a quadratic bucket — the cap is part of
+  the operator contract and mirrored in the oracle SQL;
+- sketches (minhash mins, simhash bit-sums) are plain aggregations with
+  map-side partial combine; signatures stay as N columns, not exploded rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark import textproc
+
+
+def exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 content hash -> (content_hash, keeper_id, n_copies).
+    One hash-shuffle on the 128-bit content hash."""
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc: (doc_id, sh)."""
+    w = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = textproc.seq1(F.size(w) - F.lit(n - 1))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 100,
+    threshold: float = 0.004,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via shared-shingle candidate join.
+
+    Shingles appearing in more than ``max_df`` docs are dropped from pairing
+    (stop-shingle cut: bounds any bucket to max_df², keeping the join linear
+    in data size); set sizes use ALL shingles, so the estimate is
+    conservative.  jaccard = |shared| / (|A| + |B| - |shared|)."""
+    sh = word_shingles(df, text_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = sh.groupBy("sh").agg(F.count("*").alias("df_sh")).filter(
+        F.col("df_sh") <= max_df
+    )
+    sh_r = sh.join(rare.select("sh"), "sh")
+    a = sh_r.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh_r.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- MinHash + LSH
+
+N_PERM = 64
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, m0..m{n-1}): per-permutation minimum of xxhash64(shingle, i).
+    One aggregation with n_perm min() columns — map-side combine, no row
+    blowup (the shingle rows are NOT exploded n_perm times)."""
+    sh = word_shingles(df, text_col)
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}") for i in range(n_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_perm: int = N_PERM, bands: int = 16
+) -> DataFrame:
+    """Band the signature (r = n_perm/bands rows per band), bucket-join docs
+    sharing any band hash: (doc_a, doc_b, n_bands_shared, est_jaccard).
+
+    est_jaccard = fraction of matching signature positions (the standard
+    unbiased MinHash estimate)."""
+    r = n_perm // bands
+    band_hash = [
+        F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)]).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *[F.col(f"m{i}") for i in range(n_perm)], *band_hash)
+    pairs_per_band = [
+        banded.select(F.col("doc_id"), F.col(f"b{b}").alias("bh"), F.lit(b).alias("band"))
+        for b in range(bands)
+    ]
+    exploded = reduce(lambda x, y: x.unionByName(y), pairs_per_band)
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "bh", "band")
+    b_ = exploded.select(F.col("doc_id").alias("doc_b"), "bh", "band")
+    cand = (
+        a.join(b_, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig_a"),
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig_b"),
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda z: z,
+            )
+        ).cast("double")
+        / F.lit(float(n_perm)),
+        6,
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
+
+
+# --------------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: bit j of the fingerprint is the sign of
+    Σ_words (±1 by bit j of xxhash64(word)).  64 conditional-sum aggregate
+    columns + a shiftleft/sum reconstruction — all JVM-side."""
+    w = df.select(
+        "doc_id", F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+    ).withColumn("h", F.xxhash64("word"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    agg = w.groupBy("doc_id").agg(*sums)
+    fp = reduce(
+        lambda x, y: x.bitwiseOR(y),
+        [
+            F.when(F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(64)
+        ],
+    )
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(sh: DataFrame, max_hamming: int = 6, bands: int = 4) -> DataFrame:
+    """Near-dup pairs by Hamming distance: band the 64-bit fingerprint into
+    ``bands`` 16-bit chunks; any pair within max_hamming < bands must share
+    at least one exact chunk (pigeonhole) -> equi join per chunk, then exact
+    bit_count(xor) filter."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = [
+        sh.select(
+            "doc_id",
+            F.col("simhash"),
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    exploded = reduce(lambda x, y: x.unionByName(y), chunks)
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
+    )
+    b_ = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
+    )
+    return (
+        a.join(b_, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup(
+    emb: DataFrame, threshold: float = 0.35, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All pairs with cosine >= threshold.  Exact O(n²) self-join — correct
+    baseline; at scale use simsearch.hyperplane_buckets to restrict the join
+    to same-bucket candidates."""
+    d = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = d.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = d.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

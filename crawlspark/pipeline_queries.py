@@ -1,0 +1,180 @@
+"""Training-data pipeline operators as driver-checkable queries (q30+).
+
+Same contract as crawlspark.queries: ``QUERIES[key](spark, sf_dir) ->
+DataFrame``; ``ORACLE[key]`` is the DuckDB mirror where the semantics are
+ANSI-SQL-expressible.  The xxhash64-based sketches (MinHash, SimHash) and the
+binary multimodal plumbing cannot be mirrored in DuckDB (no xxhash64) — those
+keys are intentionally absent from ORACLE → the driver's rows-only check;
+their correctness is covered by unit/property tests instead
+(tests/unit/test_pipeline_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlspark import dedup, multimodal, simsearch, textproc
+from crawlspark.queries import read
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ exact copies of every 5th doc (doc_id + 1_000_000) — so
+    exact-dedup has real duplicate groups to find."""
+    d = read(spark, sf_dir, "documents")
+    dups = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return d.unionByName(dups)
+
+
+def q30_dedup_exact(spark, sf_dir):
+    return dedup.exact_groups(_docs_with_dups(spark, sf_dir))
+
+
+def q31_jaccard_shingles(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        read(spark, sf_dir, "documents"), n=3, max_df=100, threshold=0.5
+    )
+
+
+def q32_minhash_lsh(spark, sf_dir):
+    sigs = dedup.minhash_signatures(read(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5)
+
+
+def q33_simhash_neardup(spark, sf_dir):
+    sh = dedup.simhash(read(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(sh, max_hamming=6)
+
+
+def q34_ann_cosine(spark, sf_dir):
+    return simsearch.topk_bruteforce(read(spark, sf_dir, "embeddings"), k=5)
+
+
+def q35_lang_id(spark, sf_dir):
+    return textproc.lang_id(read(spark, sf_dir, "documents"))
+
+
+def q36_quality_score(spark, sf_dir):
+    return textproc.quality_score(read(spark, sf_dir, "documents"))
+
+
+def q37_token_count(spark, sf_dir):
+    return textproc.token_counts(read(spark, sf_dir, "documents"))
+
+
+def q38_fingerprint(spark, sf_dir):
+    return textproc.fingerprints(read(spark, sf_dir, "documents"))
+
+
+def q39_multimodal_features(spark, sf_dir):
+    media = multimodal.with_payload(read(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media, fake=True)
+
+
+def q40_embedding_neardup(spark, sf_dir):
+    return dedup.embedding_neardup(read(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q41_ann_lsh(spark, sf_dir):
+    return simsearch.topk_lsh(read(spark, sf_dir, "embeddings"), k=5)
+
+
+QUERIES = {
+    "q30_dedup_exact": q30_dedup_exact,
+    "q31_jaccard_shingles": q31_jaccard_shingles,
+    "q32_minhash_lsh": q32_minhash_lsh,
+    "q33_simhash_neardup": q33_simhash_neardup,
+    "q34_ann_cosine": q34_ann_cosine,
+    "q35_lang_id": q35_lang_id,
+    "q36_quality_score": q36_quality_score,
+    "q37_token_count": q37_token_count,
+    "q38_fingerprint": q38_fingerprint,
+    "q39_multimodal_features": q39_multimodal_features,
+    "q40_embedding_neardup": q40_embedding_neardup,
+    "q41_ann_lsh": q41_ann_lsh,
+}
+
+_SHINGLE_CTE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+), sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-1, 1)),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+  FROM w
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1
+), rare AS (
+  SELECT sh FROM (SELECT sh, count(*) AS c FROM sh0 GROUP BY 1) WHERE c <= 100
+), shr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh0 a JOIN sh0 b USING (sh) JOIN rare USING (sh)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+"""
+
+ORACLE = {
+    "q30_dedup_exact": (
+        "WITH alldocs AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0) "
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, "
+        "count(*) AS n_copies FROM alldocs GROUP BY 1"
+    ),
+    "q31_jaccard_shingles": _SHINGLE_CTE
+    + (
+        "SELECT doc_a, doc_b, n_shared, "
+        "round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard "
+        "FROM shr JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.5"
+    ),
+    "q34_ann_cosine": (
+        "SELECT q_vec_id, neighbor_id, rk FROM ("
+        "SELECT q.vec_id AS q_vec_id, e.vec_id AS neighbor_id, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE))) DESC, e.vec_id) AS rk "
+        "FROM embeddings q, embeddings e "
+        "WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) WHERE rk <= 5"
+    ),
+    "q35_lang_id": (
+        "WITH s AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), "
+        "sc AS (SELECT doc_id, greatest(len(ws), 1) AS nw, "
+        "len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS s_en, "
+        "len(list_filter(ws, x -> x IN ('table','row','column','query'))) AS s_de, "
+        "len(list_filter(ws, x -> x IN ('spark','batch','stream','vector'))) AS s_fr FROM s) "
+        "SELECT doc_id, CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en' "
+        "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang, "
+        "round(CAST(greatest(s_en, s_de, s_fr) AS DOUBLE) / nw, 4) AS lang_conf FROM sc"
+    ),
+    "q36_quality_score": (
+        "WITH s AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS ws FROM documents), "
+        "m AS (SELECT doc_id, len(ws) AS n_words, "
+        "CAST(greatest(len(ws), 1) AS DOUBLE) AS nw, "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+        "len(list_filter(ws, x -> x IN ('the','a','of','and','to','in'))) AS n_stop FROM s) "
+        "SELECT doc_id, n_words, round(n_alpha / nw, 4) AS avg_word_len, "
+        "round(n_stop / nw, 4) AS stopword_ratio, "
+        "round(least(1.0, n_words / 400.0) * (1.0 - round(n_stop / nw, 4)), 4) AS quality FROM m"
+    ),
+    "q37_token_count": (
+        "SELECT doc_id, "
+        "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_ws_tokens, "
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens "
+        "FROM documents"
+    ),
+    "q38_fingerprint": (
+        "WITH g AS (SELECT doc_id, list_transform(range(1, greatest(length(text)-6, 1)), "
+        "i -> md5(substr(text, CAST(i AS BIGINT), 8))) AS hs FROM documents), "
+        "f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs)-14, 1)), "
+        "j -> list_aggregate(list_slice(hs, j, j+15), 'min'))) AS fps FROM g) "
+        "SELECT doc_id, unnest(fps) AS fp FROM f"
+    ),
+    "q40_embedding_neardup": (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos "
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+        "AND round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.35"
+    ),
+}

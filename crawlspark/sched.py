@@ -43,6 +43,32 @@ def take(df: DataFrame, k: int | None) -> DataFrame:
     return df.filter(F.col("host_rank") <= k)
 
 
+def rank_topk_salted(df: DataFrame, k: int, salt_buckets: int = 32) -> DataFrame:
+    """Skew-proof exact per-host top-k (G1+G3 fused for hot hosts).
+
+    A plain Window.partitionBy(host) puts a 10^9-row hot host into ONE task.
+    Two-phase instead: (1) rank within (host, salt) — salt from url_h, so
+    every partition is ~1/S of the host — keep local rank <= k; (2) exactly
+    re-rank the <= S*k survivors per host.  Same result as rank()+take(k)
+    for any k (each host's true top-k survives phase 1: a row dropped in
+    phase 1 has k better rows in its own salt bucket alone), but the big
+    window never sees more than max(n_host/S, S*k) rows per task."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.col("url_h"), F.lit(salt_buckets)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*HOST_ORDER)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*HOST_ORDER)
+    return (
+        survivors.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= k)
+    )
+
+
 def assign_global_seq(
     df: DataFrame, order_cols=None, seq_col: str = "crawl_seq", num_parts: int | None = None
 ) -> DataFrame:

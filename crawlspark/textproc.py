@@ -1,0 +1,127 @@
+"""Text-analysis operators for a training-data pipeline over ``documents``:
+language-ID (marker n-gram heuristic), quality scoring, token counting, and
+winnowing document fingerprints.
+
+Everything is native column expressions (JVM-side, whole-stage codegen) —
+including the winnowing fingerprint, which composes ``transform`` +
+``md5(substring(...))`` + per-window ``array_min`` instead of a Python UDF.
+The DuckDB oracle SQL in pipeline_queries.py mirrors each formula
+token-for-token, so results hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker word sets for the language-ID heuristic; the testdata vocabulary is
+# shared across langs, so this is a *deterministic classifier structure*
+# (scored marker sets + argmax with fixed tie-break), not a trained model
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("table", "row", "column", "query"),
+    "fr": ("spark", "batch", "stream", "vector"),
+}
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def words(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def seq1(n: Column) -> Column:
+    """sequence(1, n), but EMPTY when n < 1 — Spark's sequence(1, 0) would
+    yield the descending [1, 0], which silently corrupts position math."""
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array_remove(F.array(F.lit(0)), 0)
+    )
+
+
+def _hits(w: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_conf): argmax of marker-set hit ratios with a
+    fixed en>de>fr tie-break."""
+    w = words(F.col(text_col))
+    nw = F.greatest(F.size(w), F.lit(1))
+    s_en, s_de, s_fr = (_hits(w, LANG_MARKERS[k]) for k in ("en", "de", "fr"))
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_fr), F.lit("en"))
+        .when(s_de >= s_fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    conf = F.round(
+        F.greatest(s_en, s_de, s_fr).cast("double") / nw.cast("double"), 4
+    )
+    return df.select("doc_id", pred.alias("pred_lang"), conf.alias("lang_conf"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / stopword / alpha-density heuristics -> one quality scalar.
+    All ratios are exact integer/integer divisions — oracle-reproducible."""
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    stop_ratio = F.round(_hits(w, STOPWORDS).cast("double") / nw, 4)
+    avg_wlen = F.round(n_alpha.cast("double") / nw, 4)
+    quality = F.round(
+        F.least(F.lit(1.0), n_words.cast("double") / F.lit(400.0))
+        * (F.lit(1.0) - stop_ratio),
+        4,
+    )
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        avg_wlen.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (runs of letters,
+    runs of digits, single punctuation)."""
+    t = F.lower(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(F.split(t, r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_re_tokens"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 16
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    k-char gram, keep the minimum hash of each w-window, distinct per doc.
+    Native expressions only: positions via sequence, gram hash via
+    md5(substring), window min via slice+array_min.
+
+    Output: (doc_id, fp) exploded — the near-dup building block that survives
+    small edits (a changed char perturbs <= k+w-1 windows)."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    npos = F.length(t) - F.lit(k - 1)
+    grams = F.transform(seq1(npos), lambda i: F.md5(F.substring(t, i, F.lit(k))))
+    # explode FIRST (the Generate operator evaluates the gram array once per
+    # doc), then window-frame min — a naive nested transform(slice(...))
+    # re-inlines the gram array per window and goes O(len²) in md5 calls
+    pos = df.select("doc_id", F.posexplode(grams).alias("idx", "h"))
+    wd = Window.partitionBy("doc_id")
+    wmin = wd.orderBy("idx").rowsBetween(Window.currentRow, w - 1)
+    return (
+        pos.withColumn("npos", F.count("*").over(wd))
+        .withColumn("fp", F.min("h").over(wmin))
+        .filter(F.col("idx") + w <= F.col("npos"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
