@@ -50,8 +50,8 @@ def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     n: int = 3,
-    max_df: int = 100,
-    threshold: float = 0.004,
+    max_df: int = 20,
+    threshold: float = 0.5,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shared-shingle candidate join.
 

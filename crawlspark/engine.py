@@ -59,6 +59,7 @@ class EngineConfig:
     take_k: int | None = None  # per-host per-wave cap (G3); None = drain
     use_pandas_fetch: bool = False  # J2 path instead of native exprs
     salt_partitions: int = 16  # K1: fetch-stage salting
+    salted_topk: bool = True  # G1+G3 fused two-phase rank (skew-proof)
 
 
 class CrawlEngine:
@@ -124,11 +125,17 @@ class CrawlEngine:
 
         # budgets + per-host priority rank + top-k + token-bucket schedule
         cand = polite.attach_budget(cand, self.budgets)
-        ranked = sched.rank(cand)
-        batch = sched.take(ranked, cfg.take_k)
-        deferred = (
-            ranked.filter(F.col("host_rank") > cfg.take_k) if cfg.take_k else None
-        )
+        if cfg.take_k and cfg.salted_topk:
+            # two-phase salted rank: identical result to rank()+take(k), but
+            # a hot host never lands in a single window task (sched.G1/G3)
+            batch = sched.rank_topk_salted(cand, cfg.take_k)
+            deferred = cand.join(batch.select("url_h"), "url_h", "left_anti")
+        else:
+            ranked = sched.rank(cand)
+            batch = sched.take(ranked, cfg.take_k)
+            deferred = (
+                ranked.filter(F.col("host_rank") > cfg.take_k) if cfg.take_k else None
+            )
         prior = None
         log_prev = self._crawl_log_raw(wave)
         if log_prev is not None:

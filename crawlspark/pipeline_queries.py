@@ -33,7 +33,7 @@ def q30_dedup_exact(spark, sf_dir):
 
 def q31_jaccard_shingles(spark, sf_dir):
     return dedup.jaccard_pairs(
-        read(spark, sf_dir, "documents"), n=3, max_df=100, threshold=0.5
+        read(spark, sf_dir, "documents"), n=3, max_df=20, threshold=0.5
     )
 
 
@@ -105,7 +105,7 @@ WITH w AS (
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1
 ), rare AS (
-  SELECT sh FROM (SELECT sh, count(*) AS c FROM sh0 GROUP BY 1) WHERE c <= 100
+  SELECT sh FROM (SELECT sh, count(*) AS c FROM sh0 GROUP BY 1) WHERE c <= 20
 ), shr AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
   FROM sh0 a JOIN sh0 b USING (sh) JOIN rare USING (sh)

@@ -311,6 +311,53 @@ def q24_intersect(spark, sf_dir):
     return c.intersect(o)
 
 
+def q25_asof_join(spark, sf_dir):
+    """As-of join: for each order, the latest event of the same user at or
+    before the order date.  Implemented as the scalable union-sort-window
+    idiom (ONE sort shuffle on the key, no range-join blowup): tag both
+    streams, union, running max of the event-side timestamp."""
+    e = read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"), F.lit(0).alias("is_q"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    o = read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_q"), "o_orderkey",
+    )
+    u = e.unionByName(o)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.max(F.when(F.col("is_q") == 0, F.col("t"))).over(w)
+    return (
+        u.withColumn("asof_event_ts", asof)
+        .filter((F.col("is_q") == 1) & F.col("asof_event_ts").isNotNull())
+        .select("o_orderkey", F.col("k").alias("custkey"), "asof_event_ts")
+    )
+
+
+def q26_cube(spark, sf_dir):
+    e = read(spark, sf_dir, "events")
+    return (
+        e.withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(10)))
+        .cube("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q27_session_window(spark, sf_dir):
+    # session windows per user: bursts separated by >= 30 min of quiet.
+    # DuckDB has no session_window -> rows-only check; semantics unit-tested.
+    e = read(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("s.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_scan_filter": q02_scan_filter,
@@ -336,6 +383,9 @@ QUERIES = {
     "q22_union_dedup": q22_union_dedup,
     "q23_except": q23_except,
     "q24_intersect": q24_intersect,
+    "q25_asof_join": q25_asof_join,
+    "q26_cube": q26_cube,
+    "q27_session_window": q27_session_window,
 }
 
 # DuckDB mirror of urlkit.canonicalize — token-for-token the same pipeline
@@ -491,5 +541,16 @@ ORACLE = {
     "q24_intersect": (
         "SELECT c_custkey AS custkey FROM customer INTERSECT "
         "SELECT o_custkey AS custkey FROM orders"
+    ),
+    "q25_asof_join": (
+        "SELECT o_orderkey, o_custkey AS custkey, asof_event_ts FROM ("
+        "SELECT o_orderkey, o_custkey, "
+        "(SELECT max(e.ts) FROM events e WHERE e.user_id = o.o_custkey "
+        "AND e.ts <= o.o_orderdate) AS asof_event_ts FROM orders o) "
+        "WHERE asof_event_ts IS NOT NULL"
+    ),
+    "q26_cube": (
+        "SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n "
+        "FROM events GROUP BY CUBE (event_type, user_bucket)"
     ),
 }

@@ -82,33 +82,27 @@ def assign_global_seq(
     order_cols = order_cols or CANONICAL_ORDER_COLS
     spark = df.sparkSession
     parts = num_parts or spark.sparkContext.defaultParallelism
-    d = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    oc = [F.col(c) for c in order_cols]
+    # persist pins ONE sampling of the range partitioner for both jobs (the
+    # partitioner is sampled, so an unpinned recompute could re-bucket rows);
+    # callers materialize (write/collect) while the cache is warm — the
+    # engine checkpoints every wave, which is exactly that
+    d = (
+        df.repartitionByRange(parts, *oc)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    d = d.persist()
-    try:
-        counts = sorted(
-            (r["_pid"], r["c"])
-            for r in d.groupBy("_pid").agg(F.count("*").alias("c")).collect()
-        )
-        offsets, acc = {}, 0
-        for pid, c in counts:
-            offsets[pid] = acc
-            acc += c
-        off_df = F.broadcast(
-            spark.createDataFrame(
-                [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-            )
-        )
-        w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-        out = (
-            d.join(off_df, "_pid")
-            .withColumn(seq_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
-            .drop("_pid", "_off")
-        )
-        # materialize before unpersist so the lineage doesn't recompute the
-        # (sampled) range partitioning differently later
-        out = out.localCheckpoint(eager=True)
-    finally:
-        d.unpersist()
-    return out
+    # partition-start offsets: cumsum over the per-partition counts — the
+    # only single-partition stage, bounded by the partition COUNT (<= parts
+    # rows), never by the data
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_c"))
+    w0 = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_c").over(w0), F.lit(0)).alias("_off")
+    )
+    w = Window.partitionBy("_pid").orderBy(*oc)
+    return (
+        d.join(F.broadcast(offsets), "_pid")
+        .withColumn(seq_col, (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .drop("_pid", "_off")
+    )

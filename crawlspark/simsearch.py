@@ -101,8 +101,8 @@ def topk_lsh(
     emb: DataFrame,
     query_ids: list[int] | None = None,
     k: int = 5,
-    n_planes: int = 6,
-    n_tables: int = 8,
+    n_planes: int = 5,
+    n_tables: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

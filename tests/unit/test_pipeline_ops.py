@@ -1,0 +1,156 @@
+"""Unit tests for the training-data pipeline operators (dedup, textproc,
+simsearch, multimodal) — the rows-only-checked sketches get their semantic
+verification here (SURVEY.md §5.3.1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import dedup, multimodal, simsearch, textproc
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_exact_groups_finds_planted_duplicates(spark, docs):
+    dup = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 5000
+    )
+    groups = dedup.exact_groups(docs.unionByName(dup)).persist()
+    n_docs = docs.count()
+    n_dup = dup.count()
+    assert groups.filter(F.col("n_copies") == 2).count() == n_dup
+    # keeper is always the minimum doc_id (the original)
+    assert groups.filter(F.col("keeper_id") >= 5000).count() == 0
+    assert groups.count() == n_docs  # one group per distinct text
+
+
+def test_jaccard_pairs_symmetric_and_thresholded(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5).toPandas()
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+    assert (pairs["jaccard"] >= 0.5).all()
+    assert (pairs["jaccard"] <= 1.0).all()
+
+
+def test_minhash_lsh_finds_jaccard_neardups(spark, docs):
+    """LSH candidates must cover the true high-Jaccard pairs (16 bands x 4
+    rows -> ~100% recall at j >= 0.7), and the MinHash estimate must be close
+    to the true Jaccard."""
+    true_pairs = dedup.jaccard_pairs(docs, threshold=0.7).toPandas()
+    sigs = dedup.minhash_signatures(docs)
+    cand = dedup.lsh_candidate_pairs(sigs).toPandas()
+    got = set(zip(cand.doc_a, cand.doc_b))
+    missing = [
+        (a, b) for a, b in zip(true_pairs.doc_a, true_pairs.doc_b) if (a, b) not in got
+    ]
+    assert not missing, f"LSH missed true near-dup pairs: {missing}"
+    merged = cand.merge(true_pairs, on=["doc_a", "doc_b"])
+    if len(merged):
+        err = (merged.est_jaccard - merged.jaccard).abs()
+        assert err.max() < 0.25, f"MinHash estimate error too high: {err.max()}"
+
+
+def test_simhash_neardup_covers_exact_dups(spark, docs):
+    """A doc and its identical copy have identical simhash -> hamming 0."""
+    dup = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 5000
+    )
+    sh = dedup.simhash(docs.unionByName(dup))
+    pairs = dedup.simhash_pairs(sh, max_hamming=0).toPandas()
+    expected = {(int(r), int(r) + 5000) for r in dup.select(F.col("doc_id") - 5000).toPandas().iloc[:, 0]}
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert expected <= got
+
+
+def test_simhash_is_64bit_stable(spark, docs):
+    a = dedup.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    b = dedup.simhash(docs.repartition(7)).toPandas().set_index("doc_id")["simhash"]
+    pd.testing.assert_series_equal(a.sort_index(), b.sort_index())
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    exact = simsearch.topk_bruteforce(emb, k=5).toPandas()
+    approx = simsearch.topk_lsh(emb, k=5).toPandas()
+    e = set(zip(exact.q_vec_id, exact.neighbor_id))
+    a = set(zip(approx.q_vec_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"LSH recall {recall} too low"
+    # every query returns exactly k ranked rows in both
+    assert exact.groupby("q_vec_id").size().eq(5).all()
+    assert approx.groupby("q_vec_id").size().le(5).all()
+
+
+def test_embedding_neardup_matches_numpy(spark, emb):
+    import numpy as np
+
+    pairs = dedup.embedding_neardup(emb, threshold=0.3).toPandas()
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.array(list(pdf.embedding), dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.round(Vn @ Vn.T, 4)
+    ids = pdf.vec_id.to_numpy()
+    iu = np.triu_indices(len(V), 1)
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*iu)
+        if C[i, j] >= 0.3
+    }
+    got = set(zip(pairs.vec_a, pairs.vec_b))
+    assert got == want
+
+
+def test_winnowing_fingerprint_locality(spark):
+    """Hallmark of winnowing: a local edit changes only a bounded number of
+    fingerprints; disjoint texts share none."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    edited = base.replace("lazy", "hazy")
+    other = "completely different words entirely unrelated content nothing shared at all here"
+    df = spark.createDataFrame(
+        [(0, base * 3), (1, edited * 3), (2, other * 3)], "doc_id long, text string"
+    )
+    fps = textproc.fingerprints(df).toPandas()
+    s0 = set(fps[fps.doc_id == 0].fp)
+    s1 = set(fps[fps.doc_id == 1].fp)
+    s2 = set(fps[fps.doc_id == 2].fp)
+    jac01 = len(s0 & s1) / len(s0 | s1)
+    assert jac01 > 0.3, "near-identical docs must share most fingerprints"
+    assert not (s0 & s2), "disjoint docs must share no fingerprints"
+
+
+def test_lang_id_and_quality_deterministic(spark, docs):
+    a = textproc.lang_id(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        textproc.lang_id(docs.repartition(13))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    q = textproc.quality_score(docs).toPandas()
+    assert ((q.quality >= 0) & (q.quality <= 1)).all()
+    assert (q.n_words > 0).all()
+
+
+def test_multimodal_roundtrip_and_stub(spark, docs):
+    media = multimodal.with_payload(docs)
+    feats = multimodal.extract_features(media, fake=True).toPandas()
+    orig = docs.select("doc_id", F.length(F.encode("text", "utf-8")).alias("n")).toPandas()
+    m = feats.merge(orig, on="doc_id")
+    assert (m.n_bytes == m.n).all()
+    assert set(feats.media_kind) <= {"image", "audio", "video"}
+    assert ((feats.width >= 16) & (feats.width < 80)).all()
+    # the real-decoder path is an explicit stub in this sandbox
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")

@@ -1,0 +1,87 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations we rely on must
+actually appear in the executed plan — pushed filters, pruned scans,
+broadcast joins, partial aggregation, whole-stage codegen, and no
+single-partition global window in the scalable sequence assignment.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import queries, robots
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    p = plan_of(queries.q02_scan_filter(spark, SF))
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(l_quantity)" in p or "GreaterThan(l_quantity" in p
+    # projection pruned to the 4 selected columns at the scan
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "l_extendedprice" not in rs[0]
+
+
+def test_broadcast_join_for_dimensions(spark):
+    p = plan_of(queries.q11_broadcast_join(spark, SF))
+    assert "BroadcastHashJoin" in p
+    fr = spark.createDataFrame(
+        [("https://h.com/x", "h.com")], "url string, host string"
+    )
+    rules = spark.createDataFrame(
+        [("h.com", ["/private"], None)],
+        "host string, disallow_prefix array<string>, crawl_delay_ms int",
+    )
+    assert "BroadcastHashJoin" in plan_of(robots.annotate(fr, rules))
+
+
+def test_partial_aggregation_and_codegen(spark):
+    df = queries.q14_groupby_agg(spark, SF)
+    p = plan_of(df)
+    assert p.count("HashAggregate") >= 2  # partial (map-side) + final
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_global_seq_has_no_single_partition_window(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 13).alias("o_orderdate")
+    )
+    from crawlspark import sched
+
+    out = sched.assign_global_seq(df, order_cols=["o_orderdate", "o_orderkey"], seq_col="seq")
+    # correctness: a permutation-free dense sequence
+    rows = out.orderBy("seq").toPandas()
+    assert list(rows["seq"]) == list(range(1, 1001))
+    # scalability: the plan partitions the window by _pid (range partitions),
+    # never a global single-partition sort-window
+    p = plan_of(
+        df.repartitionByRange(8, "o_orderdate", "o_orderkey").withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    assert "rangepartitioning" in p.lower()
+
+
+def test_left_anti_dedup_plan_is_join_not_subquery_loop(spark):
+    p = plan_of(queries.q09_left_anti_dedup(spark, SF))
+    assert "LeftAnti" in p
+
+
+def test_topk_is_rank_filter_not_global_sort(spark):
+    p = plan_of(queries.q18_topk_per_group(spark, SF))
+    assert "GlobalLimit" not in p  # no sort+limit; window rank filter instead
+    assert "RunningWindowFunction" in p or "Window" in p

@@ -1,0 +1,87 @@
+"""Streaming skin tests (I2/I3/I5): state must persist across micro-batch
+runs — the streaming twin of checkpointed wave resume."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import streaming
+
+
+def _drop(spark, path, rows):
+    df = spark.createDataFrame(rows, streaming.FRONTIER_STREAM_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_seen_filter_across_batches(spark, tmp_path):
+    src = str(tmp_path / "frontier_in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ts = dt.datetime(2024, 1, 1)
+    rows1 = [(f"https://h.com/{i}", i * 7919, "h.com", ts) for i in range(100)]
+    _drop(spark, src, rows1)
+
+    def run_once():
+        fr = streaming.read_frontier_stream(spark, src)
+        new = streaming.seen_filter_stream(fr, p=4)
+        streaming.run_to_sink(new, ckpt, out)
+
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 100
+
+    # second drop: 50 duplicates of batch 1 + 50 genuinely new — the bloom
+    # state in the checkpoint must filter the duplicates
+    rows2 = [(f"https://h.com/{i}", i * 7919, "h.com", ts) for i in range(50)] + [
+        (f"https://h.com/n{i}", 10_000_000 + i * 104729, "h.com", ts) for i in range(50)
+    ]
+    _drop(spark, src, rows2)
+    run_once()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 150, "duplicates from batch 1 must be filtered by state"
+    assert got2.select("url_h").distinct().count() == 150
+
+
+def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "fetched_in")
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "out2")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"https://h.com/{i}", i, "h.com", base + dt.timedelta(seconds=20 * i))
+        for i in range(12)
+    ]
+    _drop(spark, src, rows)
+    fr = streaming.read_frontier_stream(spark, src)
+    agg = streaming.windowed_fetch_counts(fr, window="1 minute")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only windows sealed by the watermark; with 12 fetches
+    # spanning 4 minutes and a 5-minute watermark nothing seals in one run —
+    # drop a far-future row to advance the watermark past the data
+    _drop(spark, src, [("https://h.com/z", 999, "h.com", base + dt.timedelta(hours=1))])
+    fr2 = streaming.read_frontier_stream(spark, src)
+    agg2 = streaming.windowed_fetch_counts(fr2, window="1 minute")
+    q2 = (
+        agg2.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) >= 4  # the four 1-minute windows of the original data
+    assert (got.groupby("start").n_fetched.sum() >= 1).all()
