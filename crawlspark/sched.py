@@ -43,6 +43,39 @@ def take(df: DataFrame, k: int | None) -> DataFrame:
     return df.filter(F.col("host_rank") <= k)
 
 
+def dedup_rank_topk_fused(
+    df: DataFrame, k: int, salt_buckets: int = 32, dedup_tiebreak: str = "url"
+) -> DataFrame:
+    """Exact-dedup + skew-proof per-host top-k in ONE shuffle.
+
+    A url_h-keyed dropDuplicates followed by a (host, salt) rank costs two
+    shuffles; but same url_h implies same host+salt (salt = pmod(url_h, S)),
+    so one repartition on (host, salt) lets BOTH windows run shuffle-free:
+    HashPartitioning(host, salt) satisfies the clustering requirement of the
+    (host, salt, url_h) dedup window AND the (host, salt) phase-1 rank —
+    Spark inserts only local sorts.  Phase 2 re-ranks the <= S*k survivors
+    per host exactly (same argument as rank_topk_salted).
+
+    The kept duplicate is the minimum dedup_tiebreak row — a pure sort key,
+    so the result is identical at any parallelism."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.col("url_h"), F.lit(salt_buckets)).cast("int")
+    ).repartition(F.col("host"), F.col("_salt"))
+    w_dedup = Window.partitionBy("host", "_salt", "url_h").orderBy(dedup_tiebreak)
+    w1 = Window.partitionBy("host", "_salt").orderBy(*HOST_ORDER)
+    survivors = (
+        salted.withColumn("_dup", F.row_number().over(w_dedup))
+        .filter(F.col("_dup") == 1)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_dup", "_r1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*HOST_ORDER)
+    return survivors.withColumn("host_rank", F.row_number().over(w2)).filter(
+        F.col("host_rank") <= k
+    )
+
+
 def rank_topk_salted(df: DataFrame, k: int, salt_buckets: int = 32) -> DataFrame:
     """Skew-proof exact per-host top-k (G1+G3 fused for hot hosts).
 
