@@ -295,10 +295,12 @@ def main():
             else None,
             "samples_urls_per_sec": {str(c): v for c, v in samples.items()},
             "quiet_window_reference": {
-                "note": "best observed on idle host (BENCH/BASELINE.md)",
-                "eff_1_to_4": 0.895,
-                "eff_2_to_8": 0.665,
-                "work_eff_1_to_4": 0.977,
+                "note": "idle-host reference (BENCH/BASELINE.md §2): wall eff is capped by the box's own memory-bandwidth ceiling; normalized = job/ceiling",
+                "eff_1_to_4": 0.741,
+                "eff_2_to_8": 0.651,
+                "normalized_eff_1_to_4": 1.10,
+                "normalized_eff_2_to_8": 1.29,
+                "work_eff": 0.86,
             },
             "method": "fresh process per leg, interleaved, best-of-2, identical 32-partition plans (external CPU steal on shared host)",
         }

@@ -78,6 +78,25 @@ class CrawlEngine:
         resume from the last committed manifest, BASELINE.json:14)."""
         last = self.store.latest_wave()
         if last is not None:
+            # the seen-set sharding is FROZEN at bootstrap: bloom shard i
+            # owns pmod(url_h, P) == i, so resuming with a different P (or
+            # mode/bit-geometry) would silently corrupt membership.  The
+            # manifest is authoritative; mismatch is a hard error.
+            frozen = self.store.manifest(0).get("config", {})
+            want = {
+                "seen_mode": self.cfg.seen_mode,
+                "bloom_partitions": self.cfg.bloom_partitions,
+                "bloom_m": self.cfg.bloom_m,
+                "bloom_k": self.cfg.bloom_k,
+                "n_hotels": self.cfg.n_hotels,
+            }
+            for key, val in want.items():
+                if key in frozen and frozen[key] != val:
+                    raise ValueError(
+                        f"resume config mismatch: manifest has {key}="
+                        f"{frozen[key]}, engine configured {val}; the "
+                        f"seen-set sharding is frozen at bootstrap"
+                    )
             return last
         fr = fixtures.initial_frontier_df(self.spark, self.cfg.n_hotels)
         self.store.write_snapshot(fr, "frontier", 0)
@@ -94,6 +113,8 @@ class CrawlEngine:
             self.store.write_delta(fr.select("url_h"), "seen", 0)
         self.store.commit(0, {"config": {"seen_mode": self.cfg.seen_mode,
                                          "bloom_partitions": self.cfg.bloom_partitions,
+                                         "bloom_m": self.cfg.bloom_m,
+                                         "bloom_k": self.cfg.bloom_k,
                                          "n_hotels": self.cfg.n_hotels}})
         return 0
 

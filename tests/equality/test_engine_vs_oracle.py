@@ -118,3 +118,18 @@ def test_take_k_throttled_still_converges(spark, oracle):
         spark, EngineConfig(n_hotels=N_HOTELS, take_k=25)
     )
     _assert_equal(oracle, order, seen, docs)
+
+
+def test_resume_with_changed_sharding_rejected(spark):
+    """The bloom sharding is frozen at bootstrap — resuming with a different
+    partition count must fail loudly, never silently corrupt membership."""
+    d = tempfile.mkdtemp(prefix="crawlspark_freeze_")
+    try:
+        cfg = EngineConfig(n_hotels=10, seen_mode="bloom", bloom_partitions=8)
+        eng = CrawlEngine(spark, cfg, d)
+        eng.bootstrap()
+        bad = EngineConfig(n_hotels=10, seen_mode="bloom", bloom_partitions=16)
+        with pytest.raises(ValueError, match="bloom_partitions"):
+            CrawlEngine(spark, bad, d).bootstrap()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
