@@ -80,6 +80,23 @@ def q41_ann_lsh(spark, sf_dir):
     return simsearch.topk_lsh(read(spark, sf_dir, "embeddings"), k=5)
 
 
+def q42_corpus_pipeline(spark, sf_dir):
+    """The composed training-corpus cleaning pipeline: quality filter ->
+    exact dedup (md5, keep min doc_id) -> near-dup removal (3-gram Jaccard
+    >= 0.5, greedy keep-lowest).  Every stage is the already-verified
+    operator; this checks the COMPOSITION end-to-end against SQL."""
+    docs = read(spark, sf_dir, "documents")
+    q = textproc.quality_score(docs).select("doc_id", "n_words", "quality")
+    good = docs.join(q.filter(F.col("quality") >= 0.12), "doc_id")
+    keepers = dedup.exact_groups(good).select(F.col("keeper_id").alias("doc_id"))
+    kept = good.join(keepers, "doc_id", "left_semi")
+    pairs = dedup.jaccard_pairs(kept, threshold=0.5)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return kept.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "n_words", "quality"
+    )
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -93,6 +110,7 @@ QUERIES = {
     "q39_multimodal_features": q39_multimodal_features,
     "q40_embedding_neardup": q40_embedding_neardup,
     "q41_ann_lsh": q41_ann_lsh,
+    "q42_corpus_pipeline": q42_corpus_pipeline,
 }
 
 _SHINGLE_CTE = """
@@ -169,6 +187,44 @@ ORACLE = {
         "j -> list_aggregate(list_slice(hs, j, j+15), 'min'))) AS fps FROM g) "
         "SELECT doc_id, unnest(fps) AS fp FROM f"
     ),
+    "q42_corpus_pipeline": """
+WITH q AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(text), '\\s+')) AS n_words,
+         round(least(1.0, len(string_split_regex(lower(text), '\\s+')) / 400.0)
+           * (1.0 - round(len(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x IN ('the','a','of','and','to','in')))
+             / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE), 4)), 4)
+           AS quality
+  FROM documents
+), good AS (
+  SELECT d.doc_id, d.text, q.n_words, q.quality
+  FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.12
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)
+), kept AS (
+  SELECT g.* FROM good g JOIN keepers USING (doc_id)
+), w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM kept
+), sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(ws)-1, 1)),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh FROM w
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1
+), rare AS (
+  SELECT sh FROM (SELECT sh, count(*) AS c FROM sh0 GROUP BY 1) WHERE c <= 20
+), shr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM sh0 a JOIN sh0 b USING (sh) JOIN rare USING (sh)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM shr
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.5
+)
+SELECT doc_id, n_words, quality FROM kept
+WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+""",
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
         "round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "

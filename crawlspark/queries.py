@@ -358,6 +358,26 @@ def q27_session_window(spark, sf_dir):
     )
 
 
+def q28_exists_subquery(spark, sf_dir):
+    # EXISTS with a predicate -> left-semi join in Spark
+    o = read(spark, sf_dir, "orders")
+    li = read(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def q29_scalar_subquery(spark, sf_dir):
+    # orders above the global average price: scalar aggregate broadcast
+    o = read(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("ap"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("ap"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_scan_filter": q02_scan_filter,
@@ -386,6 +406,8 @@ QUERIES = {
     "q25_asof_join": q25_asof_join,
     "q26_cube": q26_cube,
     "q27_session_window": q27_session_window,
+    "q28_exists_subquery": q28_exists_subquery,
+    "q29_scalar_subquery": q29_scalar_subquery,
 }
 
 # DuckDB mirror of urlkit.canonicalize — token-for-token the same pipeline
@@ -552,5 +574,14 @@ ORACLE = {
     "q26_cube": (
         "SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n "
         "FROM events GROUP BY CUBE (event_type, user_bucket)"
+    ),
+    "q28_exists_subquery": (
+        "SELECT o_orderkey, o_totalprice FROM orders o WHERE EXISTS ("
+        "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_quantity >= 48)"
+    ),
+    "q29_scalar_subquery": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
     ),
 }
