@@ -312,19 +312,20 @@ def q24_intersect(spark, sf_dir):
 
 
 def q25_asof_join(spark, sf_dir):
-    """As-of join: for each order, the latest event of the same user at or
-    before the order date.  Implemented as the scalable union-sort-window
-    idiom (ONE sort shuffle on the key, no range-join blowup): tag both
-    streams, union, running max of the event-side timestamp."""
-    e = read(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"), F.col("ts").alias("t"), F.lit(0).alias("is_q"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-    )
+    """As-of join: for each event, the latest order of the same key at or
+    before the event timestamp.  Implemented as the scalable
+    union-sort-window idiom (ONE sort shuffle on the key, no range-join
+    blowup): tag both streams, union, running max of the order-side
+    timestamp."""
     o = read(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
-        F.lit(1).alias("is_q"), "o_orderkey",
+        F.lit(0).alias("is_q"), F.lit(None).cast("long").alias("event_id"),
     )
-    u = e.unionByName(o)
+    e = read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"),
+        F.lit(1).alias("is_q"), "event_id",
+    )
+    u = o.unionByName(e)
     w = (
         Window.partitionBy("k")
         .orderBy("t", "is_q")
@@ -332,9 +333,9 @@ def q25_asof_join(spark, sf_dir):
     )
     asof = F.max(F.when(F.col("is_q") == 0, F.col("t"))).over(w)
     return (
-        u.withColumn("asof_event_ts", asof)
-        .filter((F.col("is_q") == 1) & F.col("asof_event_ts").isNotNull())
-        .select("o_orderkey", F.col("k").alias("custkey"), "asof_event_ts")
+        u.withColumn("asof_order_ts", asof)
+        .filter((F.col("is_q") == 1) & F.col("asof_order_ts").isNotNull())
+        .select("event_id", F.col("k").alias("user_id"), "asof_order_ts")
     )
 
 
@@ -565,11 +566,11 @@ ORACLE = {
         "SELECT o_custkey AS custkey FROM orders"
     ),
     "q25_asof_join": (
-        "SELECT o_orderkey, o_custkey AS custkey, asof_event_ts FROM ("
-        "SELECT o_orderkey, o_custkey, "
-        "(SELECT max(e.ts) FROM events e WHERE e.user_id = o.o_custkey "
-        "AND e.ts <= o.o_orderdate) AS asof_event_ts FROM orders o) "
-        "WHERE asof_event_ts IS NOT NULL"
+        "SELECT event_id, user_id, asof_order_ts FROM ("
+        "SELECT event_id, user_id, "
+        "(SELECT max(o.o_orderdate) FROM orders o WHERE o.o_custkey = e.user_id "
+        "AND o.o_orderdate <= e.ts) AS asof_order_ts FROM events e) "
+        "WHERE asof_order_ts IS NOT NULL"
     ),
     "q26_cube": (
         "SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n "
