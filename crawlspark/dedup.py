@@ -59,7 +59,15 @@ def jaccard_pairs(
     (stop-shingle cut: bounds any bucket to max_df², keeping the join linear
     in data size); set sizes use ALL shingles, so the estimate is
     conservative.  jaccard = |shared| / (|A| + |B| - |shared|)."""
-    sh = word_shingles(df, text_col, n).persist()
+    # join on the 64-bit shingle hash, not the string: the candidate join
+    # and frequency count shuffle 8-byte keys instead of ~20-40B strings.
+    # (A 64-bit collision would merge two shingles; P ~ n²/2^65 — negligible
+    # and deterministic.)
+    sh = (
+        word_shingles(df, text_col, n)
+        .select("doc_id", F.xxhash64("sh").alias("sh"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = sh.groupBy("sh").agg(F.count("*").alias("df_sh")).filter(
         F.col("df_sh") <= max_df

@@ -97,6 +97,19 @@ def q42_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q43_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary statistics: per word, collection frequency and
+    document frequency — one explode + one hash agg (map-side combined)."""
+    d = read(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return w.groupBy("word").agg(
+        F.count("*").alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -111,6 +124,7 @@ QUERIES = {
     "q40_embedding_neardup": q40_embedding_neardup,
     "q41_ann_lsh": q41_ann_lsh,
     "q42_corpus_pipeline": q42_corpus_pipeline,
+    "q43_vocab_stats": q43_vocab_stats,
 }
 
 _SHINGLE_CTE = """
@@ -225,6 +239,11 @@ WITH q AS (
 SELECT doc_id, n_words, quality FROM kept
 WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
 """,
+    "q43_vocab_stats": (
+        "SELECT word, count(*) AS cf, count(DISTINCT doc_id) AS df FROM ("
+        "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word "
+        "FROM documents) WHERE word <> '' GROUP BY word"
+    ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
         "round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
