@@ -123,16 +123,17 @@ def lsh_candidate_pairs(
     est_jaccard = fraction of matching signature positions (the standard
     unbiased MinHash estimate)."""
     r = n_perm // bands
-    band_hash = [
-        F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)]).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc_id", *[F.col(f"m{i}") for i in range(n_perm)], *band_hash)
-    pairs_per_band = [
-        banded.select(F.col("doc_id"), F.col(f"b{b}").alias("bh"), F.lit(b).alias("band"))
-        for b in range(bands)
-    ]
-    exploded = reduce(lambda x, y: x.unionByName(y), pairs_per_band)
+    band_hash = F.array(
+        *[
+            F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    # single posexplode pass — a union of per-band projections would
+    # recompute the (expensive) signature aggregation once per band
+    exploded = sigs.select(
+        "doc_id", F.posexplode(band_hash).alias("band", "bh")
+    )
     a = exploded.select(F.col("doc_id").alias("doc_a"), "bh", "band")
     b_ = exploded.select(F.col("doc_id").alias("doc_b"), "bh", "band")
     cand = (
@@ -202,16 +203,16 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 6, bands: int = 4) -> DataFr
     bit_count(xor) filter."""
     width = 64 // bands
     mask = (1 << width) - 1
-    chunks = [
-        sh.select(
-            "doc_id",
-            F.col("simhash"),
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
-        )
-        for b in range(bands)
-    ]
-    exploded = reduce(lambda x, y: x.unionByName(y), chunks)
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    # single posexplode pass (see lsh_candidate_pairs for rationale)
+    exploded = sh.select(
+        "doc_id", F.col("simhash"), F.posexplode(chunk_arr).alias("band", "chunk")
+    )
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
     )

@@ -78,7 +78,7 @@ def hyperplane_buckets(
     d = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("norm", _norm(F.col("v")))
-    out = []
+    buckets = []
     for t in range(n_tables):
         planes = _planes(n_planes, seed=42 + t)
         bucket = F.lit(0).cast("long")
@@ -88,13 +88,12 @@ def hyperplane_buckets(
                 F.lit(0).cast("long")
             )
             bucket = bucket.bitwiseOR(bit)
-        out.append(
-            d.select("vid", "v", "norm", F.lit(t).alias("table"), bucket.alias("bucket"))
-        )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+        buckets.append(bucket)
+    # one posexplode pass over all tables' buckets — a per-table union would
+    # rescan the corpus n_tables times
+    return d.select(
+        "vid", "v", "norm", F.posexplode(F.array(*buckets)).alias("table", "bucket")
+    )
 
 
 def topk_lsh(
