@@ -110,6 +110,11 @@ def q43_vocab_stats(spark, sf_dir):
     )
 
 
+def q44_ann_cosine_arrow(spark, sf_dir):
+    """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
+    return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -125,6 +130,7 @@ QUERIES = {
     "q41_ann_lsh": q41_ann_lsh,
     "q42_corpus_pipeline": q42_corpus_pipeline,
     "q43_vocab_stats": q43_vocab_stats,
+    "q44_ann_cosine_arrow": q44_ann_cosine_arrow,
 }
 
 _SHINGLE_CTE = """
@@ -239,6 +245,16 @@ WITH q AS (
 SELECT doc_id, n_words, quality FROM kept
 WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
 """,
+    # same oracle as q34 — the Arrow path must produce identical neighbors
+    "q44_ann_cosine_arrow": (
+        "SELECT q_vec_id, neighbor_id, rk FROM ("
+        "SELECT q.vec_id AS q_vec_id, e.vec_id AS neighbor_id, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        "list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE))) DESC, e.vec_id) AS rk "
+        "FROM embeddings q, embeddings e "
+        "WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) WHERE rk <= 5"
+    ),
     "q43_vocab_stats": (
         "SELECT word, count(*) AS cf, count(DISTINCT doc_id) AS df FROM ("
         "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word "

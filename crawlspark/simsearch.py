@@ -62,6 +62,71 @@ def topk_bruteforce(
     )
 
 
+def topk_bruteforce_arrow(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow fast path for the exact top-k scan (SURVEY §2 J4): the query
+    matrix is collected once (small by contract) and broadcast into a
+    mapInPandas stage that computes cosine via one numpy matmul per Arrow
+    batch and keeps only each batch's local top-k per query — Spark's
+    higher-order array functions are interpreted per element, while this
+    path is BLAS-vectorized.  A final window over the <= k·n_batches
+    survivors yields the exact global top-k (identical to
+    topk_bruteforce; oracle-checked as q44)."""
+    q_rows = (
+        emb.filter(
+            F.col(id_col).isin(query_ids) if query_ids else F.col(id_col) < 8
+        )
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_vec_id", T.LongType()),
+            T.StructField("vid", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            C = Vn @ Qn.T  # (batch, n_queries)
+            frames = []
+            for qi in range(len(q_ids)):
+                col = C[:, qi]
+                mask = ids != q_ids[qi]
+                order = np.argsort(-col[mask], kind="stable")[:k]
+                sel = np.where(mask)[0][order]
+                frames.append(
+                    pd.DataFrame(
+                        {"q_vec_id": q_ids[qi], "vid": ids[sel], "cos": col[sel]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    cand = emb.select(id_col, vec_col).mapInPandas(fn, out_schema)
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_vec_id", F.col("vid").alias("neighbor_id"), "rk")
+    )
+
+
 def _planes(n_planes: int, dim: int = DIM, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
