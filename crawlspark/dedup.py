@@ -228,6 +228,59 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 6, bands: int = 4) -> DataFr
     )
 
 
+# --------------------------------------------------- near-dup cluster labels
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph -> (doc_id, label)
+    with label = min doc_id of the component (the canonical keeper).
+
+    Hash-min label propagation (the standard large-graph CC for dataflow
+    engines, cf. Kiveris et al. "Connected Components in MapReduce", SoCC'13):
+    every vertex repeatedly adopts the minimum label in its neighborhood;
+    converges in O(diameter) rounds, each round one join + one aggregation.
+    Near-dup components are tiny (dup clusters), so this converges in 2-3
+    rounds; the loop stops as soon as a round changes nothing."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .select(F.col("src").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 # ------------------------------------------------------- embedding near-dup
 
 

@@ -110,6 +110,14 @@ def q43_vocab_stats(spark, sf_dir):
     )
 
 
+def q45_neardup_components(spark, sf_dir):
+    """Connected components over the Jaccard>=0.5 near-dup graph: each doc
+    in a dup cluster labeled with the cluster's minimum doc_id.  Iterative
+    hash-min propagation in Spark; recursive-CTE reachability in DuckDB."""
+    pairs = dedup.jaccard_pairs(read(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.connected_components(pairs.select("doc_a", "doc_b"))
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -131,6 +139,7 @@ QUERIES = {
     "q42_corpus_pipeline": q42_corpus_pipeline,
     "q43_vocab_stats": q43_vocab_stats,
     "q44_ann_cosine_arrow": q44_ann_cosine_arrow,
+    "q45_neardup_components": q45_neardup_components,
 }
 
 _SHINGLE_CTE = """
@@ -245,6 +254,22 @@ WITH q AS (
 SELECT doc_id, n_words, quality FROM kept
 WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
 """,
+    "q45_neardup_components": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ")
+    + (
+        ", pairs AS ("
+        "SELECT doc_a, doc_b FROM shr "
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.5"
+        "), edges AS ("
+        "SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs"
+        "), reach(src, dst) AS ("
+        "SELECT src, dst FROM edges "
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src"
+        ") "
+        "SELECT src AS doc_id, least(src, min(dst)) AS label "
+        "FROM reach GROUP BY src"
+    ),
     # same oracle as q34 — the Arrow path must produce identical neighbors
     "q44_ann_cosine_arrow": (
         "SELECT q_vec_id, neighbor_id, rk FROM ("

@@ -154,3 +154,16 @@ def test_multimodal_roundtrip_and_stub(spark, docs):
     # the real-decoder path is an explicit stub in this sandbox
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Known graph: chain 1-2-3-4, pair 10-11, singleton edge 20-21;
+    labels must be the component minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["label"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
