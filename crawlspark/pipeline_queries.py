@@ -118,6 +118,27 @@ def q45_neardup_components(spark, sf_dir):
     return dedup.connected_components(pairs.select("doc_a", "doc_b"))
 
 
+def q46_tfidf(spark, sf_dir):
+    """Per (doc, word) TF-IDF over the corpus: tf = in-doc count, idf =
+    ln(N/df).  Two hash aggregations + one broadcastable join with the df
+    table (vocab is tiny relative to the corpus)."""
+    d = read(spark, sf_dir, "documents")
+    n_docs = d.count()
+    w = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_tbl = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df_tbl), "word")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+        .select("doc_id", "word", "tf", "tfidf")
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -140,6 +161,7 @@ QUERIES = {
     "q43_vocab_stats": q43_vocab_stats,
     "q44_ann_cosine_arrow": q44_ann_cosine_arrow,
     "q45_neardup_components": q45_neardup_components,
+    "q46_tfidf": q46_tfidf,
 }
 
 _SHINGLE_CTE = """
@@ -284,6 +306,15 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "SELECT word, count(*) AS cf, count(DISTINCT doc_id) AS df FROM ("
         "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word "
         "FROM documents) WHERE word <> '' GROUP BY word"
+    ),
+    "q46_tfidf": (
+        "WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word "
+        "FROM documents), w2 AS (SELECT * FROM w WHERE word <> ''), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2), "
+        "dfw AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY 1), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents) "
+        "SELECT doc_id, word, tf, round(tf * ln(n_docs / df), 6) AS tfidf "
+        "FROM tf JOIN dfw USING (word), n"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
