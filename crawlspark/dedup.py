@@ -59,25 +59,37 @@ def jaccard_pairs(
     (stop-shingle cut: bounds any bucket to max_df², keeping the join linear
     in data size); set sizes use ALL shingles, so the estimate is
     conservative.  jaccard = |shared| / (|A| + |B| - |shared|)."""
-    # join on the 64-bit shingle hash, not the string: the candidate join
-    # and frequency count shuffle 8-byte keys instead of ~20-40B strings.
-    # (A 64-bit collision would merge two shingles; P ~ n²/2^65 — negligible
-    # and deterministic.)
+    # 64-bit shingle hashes, not strings: every downstream shuffle moves
+    # 8-byte keys.  (A collision would merge two shingles; P ~ n²/2^65 —
+    # negligible and deterministic.)
     sh = (
         word_shingles(df, text_col, n)
         .select("doc_id", F.xxhash64("sh").alias("sh"))
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    rare = sh.groupBy("sh").agg(F.count("*").alias("df_sh")).filter(
-        F.col("df_sh") <= max_df
+    # candidate pairs WITHOUT a self-join: group each shingle's (<= max_df,
+    # sorted) doc list once, expand the C(df,2) ordered pairs locally with
+    # higher-order functions — one shuffle on sh instead of a two-sided
+    # join shuffle, and the stop-shingle cut falls out of the same pass
+    doclists = (
+        sh.groupBy("sh")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter(F.size("ds") <= max_df)
+        .select(F.array_sort("ds").alias("ds"))
     )
-    sh_r = sh.join(rare.select("sh"), "sh")
-    a = sh_r.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh_r.select(F.col("doc_id").alias("doc_b"), "sh")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, max_df),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        doclists.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
