@@ -379,6 +379,29 @@ def q29_scalar_subquery(spark, sf_dir):
     )
 
 
+def q47_sessionize_lag(spark, sf_dir):
+    """Gap-based sessionization WITHOUT session_window: session boundary =
+    gap > 30 min; session_id = running count of boundaries per user.  The
+    oracle-expressible twin of q27 (same semantics, lag + cumsum)."""
+    e = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = F.sum(is_new).over(wc)
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_scan_filter": q02_scan_filter,
@@ -409,6 +432,7 @@ QUERIES = {
     "q27_session_window": q27_session_window,
     "q28_exists_subquery": q28_exists_subquery,
     "q29_scalar_subquery": q29_scalar_subquery,
+    "q47_sessionize_lag": q47_sessionize_lag,
 }
 
 # DuckDB mirror of urlkit.canonicalize — token-for-token the same pipeline
@@ -584,5 +608,17 @@ ORACLE = {
     "q29_scalar_subquery": (
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
         "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "q47_sessionize_lag": (
+        "WITH g AS (SELECT user_id, event_id, ts, "
+        "epoch_us(ts) - epoch_us(lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us FROM events), "
+        "s AS (SELECT user_id, event_id, ts, "
+        "CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000 THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) "
+        "SELECT user_id, session_id, count(*) AS n_events, "
+        "min(ts) AS session_start, max(ts) AS session_end "
+        "FROM s GROUP BY user_id, session_id"
     ),
 }

@@ -133,3 +133,12 @@ def test_resume_with_changed_sharding_rejected(spark):
             CrawlEngine(spark, bad, d).bootstrap()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_take_k_unfused_path_identical(spark, oracle):
+    """The legacy rank()+take() path must equal the salted two-phase default
+    (and both equal the oracle)."""
+    order, seen, docs, _ = _run_engine(
+        spark, EngineConfig(n_hotels=N_HOTELS, take_k=25, salted_topk=False)
+    )
+    _assert_equal(oracle, order, seen, docs)
