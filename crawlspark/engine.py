@@ -135,6 +135,8 @@ class CrawlEngine:
         wave = self.store.latest_wave()
         assert wave is not None, "bootstrap() first"
         frontier = self.store.read_snapshot("frontier", wave)
+        # snapshot is pending-only by construction; the filter is a cheap
+        # no-op guard for wave-0 bootstrap states written by older layouts
         pending = frontier.filter(F.col("state") == "pending")
         if pending.isEmpty():
             return False
@@ -203,21 +205,28 @@ class CrawlEngine:
             disc_new = seen.dedup_exact(disc, seen_keys).select(*fixtures.FRONTIER_COLS)
             self.store.write_delta(disc_new.select("url_h"), "seen", wave + 1)
 
-        # frontier merge: history + state transitions + new discoveries
+        # frontier update: the snapshot holds ONLY open (pending) rows, so
+        # its size tracks the live frontier, not the crawl's full history —
+        # at 10^10 URLs a rewrite-everything snapshot would grow without
+        # bound.  Retired rows (done/blocked) go to an append-only delta
+        # (one wave's worth each), the same discipline as crawl_log.
         done = batch.select(*[c for c in fixtures.FRONTIER_COLS if c != "state"]).withColumn(
             "state", F.lit("done")
         )
         blk = blocked.select(*[c for c in fixtures.FRONTIER_COLS if c != "state"]).withColumn(
             "state", F.lit("blocked")
         )
-        parts = [frontier.filter(F.col("state") != "pending"), done.select(*fixtures.FRONTIER_COLS), blk.select(*fixtures.FRONTIER_COLS)]
+        retired = done.select(*fixtures.FRONTIER_COLS).unionByName(
+            blk.select(*fixtures.FRONTIER_COLS)
+        )
+        parts = [disc_new]
         if deferred is not None:
             parts.append(deferred.select(*fixtures.FRONTIER_COLS))
-        parts.append(disc_new)
         new_frontier = parts[0]
         for p in parts[1:]:
             new_frontier = new_frontier.unionByName(p)
 
+        self.store.write_delta(retired, "retired", wave)
         self.store.write_delta(log_new, "crawl_log", wave)
         self.store.write_delta(span_rows, "spans", wave)
         self.store.write_snapshot(new_frontier, "frontier", wave + 1)

@@ -104,8 +104,8 @@ def test_politeness_audit_and_blocked(spark, oracle):
         log = eng.store.read_deltas("crawl_log", wave)
         aud = polite.audit(log, eng.budgets)
         assert aud.filter(~F.col("ok")).count() == 0
-        frontier = eng.store.read_snapshot("frontier", wave)
-        blocked = {r["url"] for r in frontier.filter(F.col("state") == "blocked").collect()}
+        retired = eng.store.read_deltas("retired", wave)
+        blocked = {r["url"] for r in retired.filter(F.col("state") == "blocked").collect()}
         assert blocked == oracle.blocked
     finally:
         shutil.rmtree(d, ignore_errors=True)
