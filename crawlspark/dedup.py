@@ -59,14 +59,20 @@ def jaccard_pairs(
     (stop-shingle cut: bounds any bucket to max_df², keeping the join linear
     in data size); set sizes use ALL shingles, so the estimate is
     conservative.  jaccard = |shared| / (|A| + |B| - |shared|)."""
-    # 64-bit shingle hashes, not strings: every downstream shuffle moves
-    # 8-byte keys.  (A collision would merge two shingles; P ~ n²/2^65 —
-    # negligible and deterministic.)
-    sh = (
-        word_shingles(df, text_col, n)
-        .select("doc_id", F.xxhash64("sh").alias("sh"))
-        .persist()
+    # 64-bit shingle hashes, not strings: the n-word shingle is hashed
+    # DIRECTLY from its word columns (xxhash64 is n-ary) — no intermediate
+    # concat string is ever materialized, and every downstream shuffle
+    # moves 8-byte keys.  (A collision would merge two shingles;
+    # P ~ n²/2^65 — negligible and deterministic.)
+    w = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = textproc.seq1(F.size(w) - F.lit(n - 1))
+    hashes = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
     )
+    sh = df.select(
+        "doc_id", F.explode(F.array_distinct(hashes)).alias("sh")
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # candidate pairs WITHOUT a self-join: group each shingle's (<= max_df,
     # sorted) doc list once, expand the C(df,2) ordered pairs locally with
