@@ -46,6 +46,19 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
+def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct 64-bit n-word shingle hashes per doc: (doc_id, sh long).
+    The shingle is hashed directly from its word columns (n-ary xxhash64) —
+    no concat string is ever materialized."""
+    w = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = textproc.seq1(F.size(w) - F.lit(n - 1))
+    hashes = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(hashes)).alias("sh"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -59,20 +72,9 @@ def jaccard_pairs(
     (stop-shingle cut: bounds any bucket to max_df², keeping the join linear
     in data size); set sizes use ALL shingles, so the estimate is
     conservative.  jaccard = |shared| / (|A| + |B| - |shared|)."""
-    # 64-bit shingle hashes, not strings: the n-word shingle is hashed
-    # DIRECTLY from its word columns (xxhash64 is n-ary) — no intermediate
-    # concat string is ever materialized, and every downstream shuffle
-    # moves 8-byte keys.  (A collision would merge two shingles;
-    # P ~ n²/2^65 — negligible and deterministic.)
-    w = F.split(F.lower(F.col(text_col)), r"\s+")
-    idx = textproc.seq1(F.size(w) - F.lit(n - 1))
-    hashes = F.transform(
-        idx,
-        lambda i: F.xxhash64(*[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
-    )
-    sh = df.select(
-        "doc_id", F.explode(F.array_distinct(hashes)).alias("sh")
-    ).persist()
+    # 8-byte shingle keys everywhere (see shingle_hashes); a collision would
+    # merge two shingles — P ~ n²/2^65, negligible and deterministic
+    sh = shingle_hashes(df, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # candidate pairs WITHOUT a self-join: group each shingle's (<= max_df,
     # sorted) doc list once, expand the C(df,2) ordered pairs locally with
@@ -122,10 +124,12 @@ N_PERM = 64
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", n_perm: int = N_PERM) -> DataFrame:
-    """(doc_id, m0..m{n-1}): per-permutation minimum of xxhash64(shingle, i).
-    One aggregation with n_perm min() columns — map-side combine, no row
-    blowup (the shingle rows are NOT exploded n_perm times)."""
-    sh = word_shingles(df, text_col)
+    """(doc_id, m0..m{n-1}): per-permutation minimum of xxhash64(sh, i) over
+    the doc's 64-bit shingle hashes.  One aggregation with n_perm min()
+    columns — map-side combine, no row blowup (shingle rows are NOT exploded
+    n_perm times), and each permutation hashes an 8-byte long, not the
+    shingle string."""
+    sh = shingle_hashes(df, text_col)
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}") for i in range(n_perm)
     ]
