@@ -253,6 +253,8 @@ def simulate_pandas(batch: DataFrame, salt_partitions: int | None = None) -> Dat
             yield pdf[cols + ["doc_id", "spans"]]
 
     parts = salt_partitions or batch.sparkSession.sparkContext.defaultParallelism
-    salted = batch.withColumn("_salt", F.pmod(F.xxhash64(F.col("url_h").cast("string")), F.lit(16)))
+    # url_h is already a uniform xxhash64: pmod of the long is the salt
+    # (never stringify-and-rehash — BENCH/BASELINE.md top CPU sink)
+    salted = batch.withColumn("_salt", F.pmod(F.col("url_h"), F.lit(16)))
     salted = salted.repartition(parts, "host", "_salt").drop("_salt")
     return salted.mapInPandas(fetch_fn, out_schema)

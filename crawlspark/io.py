@@ -46,20 +46,25 @@ class TableIO:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def _ident(self, name: str) -> str:
+        """Iceberg table identifier: root is a catalog[.namespace] prefix
+        joined with '.', never a filesystem path."""
+        return f"{self.root}.{name}"
+
     def read(self, name: str) -> DataFrame:
         if self.backend == "iceberg":
-            return self.spark.read.format("iceberg").load(self._path(name))
+            return self.spark.read.table(self._ident(name))
         return self.spark.read.parquet(self._path(name))
 
     def append(self, df: DataFrame, name: str) -> None:
         if self.backend == "iceberg":
-            df.writeTo(self._path(name)).append()
+            df.writeTo(self._ident(name)).append()
         else:
             df.write.mode("append").parquet(self._path(name))
 
     def overwrite(self, df: DataFrame, name: str) -> None:
         if self.backend == "iceberg":
-            df.writeTo(self._path(name)).createOrReplace()
+            df.writeTo(self._ident(name)).createOrReplace()
         else:
             df.write.mode("overwrite").parquet(self._path(name))
 

@@ -74,24 +74,30 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     (one Python call per ~32k rows, not per row)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             bufs = pdf["payload"]
             if fake:
                 dims = [_fake_dims(bytes(b)) for b in bufs]
             else:
                 dims = [decode_image(bytes(b)) for b in bufs]
+            # whole-column vectorized hash — one call per Arrow batch, never
+            # a one-element Series per row
+            cs = (
+                pd.util.hash_pandas_object(bufs, index=False)
+                .to_numpy()
+                .astype(np.uint64)
+                % np.uint64(1 << 62)
+            ).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_kind": [m["media_kind"] for m in pdf["meta"]],
-                    "n_bytes": [len(bytes(b)) for b in bufs],
+                    "media_kind": pdf["meta"].map(lambda m: m["media_kind"]),
+                    "n_bytes": bufs.str.len().astype("int64"),
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
-                    "checksum": [
-                        int(pd.util.hash_pandas_object(pd.Series([bytes(b)])).iloc[0])
-                        % (1 << 62)
-                        for b in bufs
-                    ],
+                    "checksum": cs,
                 }
             )
 

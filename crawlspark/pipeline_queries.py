@@ -120,20 +120,24 @@ def q45_neardup_components(spark, sf_dir):
 
 def q46_tfidf(spark, sf_dir):
     """Per (doc, word) TF-IDF over the corpus: tf = in-doc count, idf =
-    ln(N/df).  Two hash aggregations + one broadcastable join with the df
-    table (vocab is tiny relative to the corpus)."""
+    ln(N/df).  Two hash aggregations + an AQE-sized equi join with the df
+    table.  N is a 1-row aggregate cross-joined in (the q29 scalar-subquery
+    idiom) — no eager driver-side count(); and the df-table join carries NO
+    broadcast hint: a web-scale vocabulary exceeds broadcast limits, so AQE
+    picks broadcast only when the measured size allows it."""
     d = read(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     w = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_tbl = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     return (
-        tf.join(F.broadcast(df_tbl), "word")
+        tf.join(df_tbl, "word")
+        .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
         )
         .select("doc_id", "word", "tf", "tfidf")
     )

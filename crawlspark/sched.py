@@ -116,14 +116,16 @@ def assign_global_seq(
     spark = df.sparkSession
     parts = num_parts or spark.sparkContext.defaultParallelism
     oc = [F.col(c) for c in order_cols]
-    # persist pins ONE sampling of the range partitioner for both jobs (the
-    # partitioner is sampled, so an unpinned recompute could re-bucket rows);
-    # callers materialize (write/collect) while the cache is warm — the
-    # engine checkpoints every wave, which is exactly that
+    # localCheckpoint pins ONE sampling of the range partitioner for both
+    # jobs (the partitioner is sampled, so an unpinned recompute could
+    # re-bucket rows) AND leaves no session-lifetime cache behind — a
+    # persist() here would leak a cached frame per call (the blocks of a
+    # localCheckpoint are dropped by the ContextCleaner once the frame is
+    # garbage-collected)
     d = (
         df.repartitionByRange(parts, *oc)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     # partition-start offsets: cumsum over the per-partition counts — the
     # only single-partition stage, bounded by the partition COUNT (<= parts
