@@ -3,15 +3,19 @@
 - ``topk_bruteforce``: exact cosine top-k of a small query set against the
   corpus — the correctness baseline.  The query side is broadcast (it is
   small by contract), so the corpus is scanned once with no shuffle.
+- ``topk_bruteforce_arrow``: the same exact scan, BLAS-vectorized.
 - ``hyperplane_buckets`` + ``topk_lsh``: random-hyperplane LSH (Charikar,
   STOC'02) — sign-bit bucket per vector; candidate set = same bucket under
   any of ``n_tables`` independent sign-bit projections; exact cosine re-rank
   of candidates.  At 100 TB the bucket join replaces the O(n·q) scan.
 
-All vector math is native higher-order functions (zip_with/aggregate) in
-double precision — JVM-side, no Python in the loop.  Hyperplane components
-are deterministic (numpy PCG seeded, generated driver-side once, embedded as
-literals) so results are reproducible across runs and cluster sizes.
+Bucket computation is ONE numpy matmul per Arrow batch inside mapInPandas
+(all tables' planes stacked into a single (T·B, dim) matrix) — no per-plane
+literal arrays, no interpreted higher-order dot products in the hot path.
+Hyperplane components are deterministic (numpy PCG seeded per table, seeds
+42+t) so buckets are reproducible across runs, batch sizes, and cluster
+sizes; the driver computes the (small-by-contract) query side's buckets with
+the same matrix, so no corpus-side persist/cache is ever needed.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DIM = 64
 
@@ -89,7 +94,6 @@ def topk_bruteforce_arrow(
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
     import pandas as pd
-    from pyspark.sql import types as T
 
     out_schema = T.StructType(
         [
@@ -127,8 +131,36 @@ def topk_bruteforce_arrow(
     )
 
 
-def _planes(n_planes: int, dim: int = DIM, seed: int = 42) -> np.ndarray:
-    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+# ------------------------------------------------------ hyperplane LSH buckets
+
+
+def _planes_matrix(n_planes: int, n_tables: int, dim: int = DIM) -> np.ndarray:
+    """All tables' planes stacked into one (n_tables * n_planes, dim) matrix.
+    Per-table seeds 42+t keep every table's projection independent AND
+    reproducible across runs/batch sizes/cluster sizes."""
+    return np.vstack(
+        [
+            np.random.default_rng(42 + t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ]
+    )
+
+
+def _bucket_ids(V: np.ndarray, planes: np.ndarray, n_planes: int, n_tables: int) -> np.ndarray:
+    """(n, n_tables) int64 sign-bit bucket ids — one matmul for all tables."""
+    signs = (V @ planes.T) > 0  # (n, T*B)
+    bits = signs.reshape(len(V), n_tables, n_planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+    return (bits * weights).sum(axis=2).astype(np.int64)
+
+
+_BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("vid", T.LongType()),
+        T.StructField("table", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+)
 
 
 def hyperplane_buckets(
@@ -138,27 +170,31 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vid, v, norm, table, bucket): sign-bit bucket id per hash table.
-    Bucket = Σ_j (dot(v, plane_j) > 0) << j over that table's planes."""
-    d = emb.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("norm", _norm(F.col("v")))
-    buckets = []
-    for t in range(n_tables):
-        planes = _planes(n_planes, seed=42 + t)
-        bucket = F.lit(0).cast("long")
-        for j, p in enumerate(planes):
-            pl = F.array(*[F.lit(float(x)) for x in p])
-            bit = F.when(_dot(F.col("v"), pl) > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
+    """(vid, table, bucket): sign-bit bucket id per hash table, computed as
+    one numpy matmul per Arrow batch (planes shipped as a closure constant —
+    a few KB).  Output is narrow (three fixed-width columns): at 100 TB the
+    bucket table is what shuffles, never the vectors."""
+    planes = _planes_matrix(n_planes, n_tables)
+    tables_idx = np.arange(n_tables, dtype=np.int32)
+
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            buckets = _bucket_ids(V, planes, n_planes, n_tables)  # (n, T)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(ids, n_tables),
+                    "table": np.tile(tables_idx, len(ids)),
+                    "bucket": buckets.ravel(),
+                }
             )
-            bucket = bucket.bitwiseOR(bit)
-        buckets.append(bucket)
-    # one posexplode pass over all tables' buckets — a per-table union would
-    # rescan the corpus n_tables times
-    return d.select(
-        "vid", "v", "norm", F.posexplode(F.array(*buckets)).alias("table", "bucket")
-    )
+
+    return emb.select(id_col, vec_col).mapInPandas(fn, _BUCKET_SCHEMA)
 
 
 def topk_lsh(
@@ -166,28 +202,60 @@ def topk_lsh(
     query_ids: list[int] | None = None,
     k: int = 5,
     n_planes: int = 5,
-    n_tables: int = 12,
+    n_tables: int = 24,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share a bucket with the query in any
     table; exact cosine re-rank of candidates.  Recall grows with n_tables;
-    the bucket equi join keeps cost ~ corpus/2^n_planes per query."""
-    b = hyperplane_buckets(emb, n_planes, n_tables, id_col, vec_col).persist()
-    qf = F.col("vid").isin(query_ids) if query_ids else F.col("vid") < 8
-    q = b.filter(qf).select(
-        F.col("vid").alias("q_vec_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qn"),
-        "table",
-        "bucket",
+    the bucket equi join keeps cost ~ corpus/2^n_planes per query.
+
+    The query side is small by contract: its vectors are collected once and
+    its buckets computed driver-side with the same plane matrix, so the
+    corpus-side bucket frame is consumed exactly once (no persist, no
+    second scan)."""
+    spark = emb.sparkSession
+    q_rows = (
+        emb.filter(
+            F.col(id_col).isin(query_ids) if query_ids else F.col(id_col) < 8
+        )
+        .select(id_col, vec_col)
+        .collect()
     )
-    cand = (
-        b.join(F.broadcast(q), ["table", "bucket"])
+    q_ids = [int(r[0]) for r in q_rows]
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    planes = _planes_matrix(n_planes, n_tables)
+    qb = _bucket_ids(Q, planes, n_planes, n_tables)  # (nq, T)
+    qb_df = spark.createDataFrame(
+        [
+            (q_ids[i], t, int(qb[i, t]))
+            for i in range(len(q_ids))
+            for t in range(n_tables)
+        ],
+        "q_vec_id long, table int, bucket long",
+    )
+    cb = hyperplane_buckets(emb, n_planes, n_tables, id_col, vec_col)
+    cand_ids = (
+        cb.join(F.broadcast(qb_df), ["table", "bucket"])
         .filter(F.col("vid") != F.col("q_vec_id"))
-        .select("q_vec_id", "qv", "qn", "vid", "v", "norm")
-        .dropDuplicates(["q_vec_id", "vid"])
+        .select("q_vec_id", "vid")
+        .distinct()
     )
+    # exact cosine re-rank of the candidates — vectors joined back from the
+    # base table (never carried through the bucket shuffle); the query norm
+    # is computed with the same Spark expression as the corpus norm so both
+    # sides of the division are bit-identical to topk_bruteforce's
+    d = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    qv_df = (
+        spark.createDataFrame(
+            [(q_ids[i], [float(x) for x in Q[i]]) for i in range(len(q_ids))],
+            "q_vec_id long, qv array<double>",
+        )
+        .withColumn("qn", _norm(F.col("qv")))
+    )
+    cand = cand_ids.join(d, "vid").join(F.broadcast(qv_df), "q_vec_id")
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vid"))
     return (

@@ -85,3 +85,28 @@ def test_topk_is_rank_filter_not_global_sort(spark):
     p = plan_of(queries.q18_topk_per_group(spark, SF))
     assert "GlobalLimit" not in p  # no sort+limit; window rank filter instead
     assert "RunningWindowFunction" in p or "Window" in p
+
+
+def test_embedding_neardup_plan_is_bucketed_not_cartesian(spark):
+    """q40 must generate candidates via the hyperplane-bucket equi join —
+    an all-pairs CartesianProduct/BroadcastNestedLoopJoin over the embedding
+    table is a 100-TB scale-killer."""
+    from crawlspark import dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(dedup.embedding_neardup(emb, threshold=0.35))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_lsh_plan_has_no_cartesian_and_no_literal_planes(spark):
+    """q41's bucket computation must be the Arrow matmul stage (planes live
+    in the Python closure), never thousands of embedded plane literals."""
+    from crawlspark import simsearch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = simsearch.topk_lsh(emb, k=5)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    # the old implementation inlined ~3072 float literals into the plan
+    assert p.count("0.") < 500, "plane components leaked into the plan as literals"
