@@ -52,10 +52,12 @@ _SEEN_KEY_SCHEMA = "url_h long"
 @dataclass
 class EngineConfig:
     n_hotels: int = 100
-    seen_mode: str = "exact"  # "exact" | "bloom"
+    seen_mode: str = "exact"  # "exact" | "bloom" | "cuckoo"
     bloom_partitions: int = 16
     bloom_m: int = 1 << 17
     bloom_k: int = 7
+    cuckoo_partitions: int = 16  # D3: delete-capable seen-set sharding
+    cuckoo_buckets: int = 1 << 13
     take_k: int | None = None  # per-host per-wave cap (G3); None = drain
     use_pandas_fetch: bool = False  # J2 path instead of native exprs
     salt_partitions: int = 16  # K1: fetch-stage salting
@@ -88,6 +90,8 @@ class CrawlEngine:
                 "bloom_partitions": self.cfg.bloom_partitions,
                 "bloom_m": self.cfg.bloom_m,
                 "bloom_k": self.cfg.bloom_k,
+                "cuckoo_partitions": self.cfg.cuckoo_partitions,
+                "cuckoo_buckets": self.cfg.cuckoo_buckets,
                 "n_hotels": self.cfg.n_hotels,
             }
             for key, val in want.items():
@@ -109,12 +113,22 @@ class CrawlEngine:
                 fr.select("url_h"), st0, self.cfg.bloom_partitions, self.cfg.bloom_m, self.cfg.bloom_k
             )
             self.store.write_snapshot(st1, "seen_bloom", 0)
+        elif self.cfg.seen_mode == "cuckoo":
+            st0 = seen.cuckoo_empty_state(
+                self.spark, self.cfg.cuckoo_partitions, self.cfg.cuckoo_buckets
+            )
+            _, st1 = seen.cuckoo_apply(
+                fr.select("url_h"), st0, self.cfg.cuckoo_partitions, "insert"
+            )
+            self.store.write_snapshot(st1, "seen_cuckoo", 0)
         else:
             self.store.write_delta(fr.select("url_h"), "seen", 0)
         self.store.commit(0, {"config": {"seen_mode": self.cfg.seen_mode,
                                          "bloom_partitions": self.cfg.bloom_partitions,
                                          "bloom_m": self.cfg.bloom_m,
                                          "bloom_k": self.cfg.bloom_k,
+                                         "cuckoo_partitions": self.cfg.cuckoo_partitions,
+                                         "cuckoo_buckets": self.cfg.cuckoo_buckets,
                                          "n_hotels": self.cfg.n_hotels}})
         return 0
 
@@ -141,6 +155,8 @@ class CrawlEngine:
         if pending.isEmpty():
             return False
 
+        wave_caches: list[DataFrame] = []
+
         # robots (broadcast) -> blocked split
         ann = robots.annotate(pending, self.robots_rules)
         blocked = ann.filter(F.col("blocked"))
@@ -150,8 +166,12 @@ class CrawlEngine:
         cand = polite.attach_budget(cand, self.budgets)
         if cfg.take_k and cfg.salted_topk:
             # two-phase salted rank: identical result to rank()+take(k), but
-            # a hot host never lands in a single window task (sched.G1/G3)
-            batch = sched.rank_topk_salted(cand, cfg.take_k)
+            # a hot host never lands in a single window task (sched.G1/G3).
+            # Persisted because the anti-join below and the fetch stage both
+            # consume it — unpersisted without a cache the two-phase ranking
+            # would run twice per wave.
+            batch = sched.rank_topk_salted(cand, cfg.take_k).persist()
+            wave_caches.append(batch)
             deferred = cand.join(batch.select("url_h"), "url_h", "left_anti")
         else:
             ranked = sched.rank(cand)
@@ -166,11 +186,13 @@ class CrawlEngine:
         batch = polite.schedule(batch, prior)
 
         # K1 salted repartition for the fetch stage (defeat per-host skew),
-        # K3 lineage capture
+        # K3 lineage capture.  url_h is already a uniform xxhash64, so pmod
+        # of the long IS the salt — re-hashing a stringified long is the
+        # build-a-string-to-hash-it anti-pattern (BENCH/BASELINE.md top sink).
         batch = batch.repartition(
             cfg.salt_partitions,
             F.col("host"),
-            F.pmod(F.xxhash64(F.col("url_h").cast("string")), F.lit(cfg.salt_partitions)),
+            F.pmod(F.col("url_h"), F.lit(cfg.salt_partitions)),
         )
         if cfg.use_pandas_fetch:
             fetched = fetch.simulate_pandas(batch, cfg.salt_partitions)
@@ -200,6 +222,13 @@ class CrawlEngine:
             )
             disc_new = new_rows.select(*fixtures.FRONTIER_COLS)
             self.store.write_snapshot(new_bloom, "seen_bloom", wave + 1)
+        elif cfg.seen_mode == "cuckoo":
+            ck_state = self.store.read_snapshot("seen_cuckoo", wave)
+            new_rows, new_ck = seen.cuckoo_apply(
+                disc, ck_state, cfg.cuckoo_partitions, "insert"
+            )
+            disc_new = new_rows.select(*fixtures.FRONTIER_COLS)
+            self.store.write_snapshot(new_ck, "seen_cuckoo", wave + 1)
         else:
             seen_keys = self._seen_keys(wave)
             disc_new = seen.dedup_exact(disc, seen_keys).select(*fixtures.FRONTIER_COLS)
@@ -232,6 +261,8 @@ class CrawlEngine:
         self.store.write_snapshot(new_frontier, "frontier", wave + 1)
         self.store.commit(wave + 1, {"config": {"seen_mode": cfg.seen_mode}})
         fetched.unpersist()
+        for c in wave_caches:
+            c.unpersist()
         return True
 
     def run(self, max_waves: int = 50) -> int:
@@ -239,6 +270,52 @@ class CrawlEngine:
         n = 0
         while n < max_waves and self.step():
             n += 1
+        return n
+
+    def recrawl(self, url_keys: DataFrame) -> int:
+        """Delete-capable re-crawl (SURVEY §2 D3 — the reason the cuckoo
+        seen-set exists): remove the given url_h keys from the seen set,
+        re-queue their retired (done) frontier rows as pending, and re-insert
+        them — preserving the seen == ever-enqueued invariant — as one
+        committed wave-transaction.  Subsequent step() calls re-fetch them
+        through the normal schedule; links they re-discover still dedup
+        against the seen set.  Only valid in cuckoo mode: bloom bits and
+        append-only exact deltas cannot delete."""
+        if self.cfg.seen_mode != "cuckoo":
+            raise ValueError(
+                "recrawl requires seen_mode='cuckoo' (bloom/exact seen-sets cannot delete)"
+            )
+        wave = self.store.latest_wave()
+        assert wave is not None, "bootstrap() first"
+        keys = url_keys.select("url_h").dropDuplicates(["url_h"])
+        retired = self.store.read_deltas("retired", wave)
+        if retired is None:
+            return 0
+        # only completed fetches are re-queued; restricting the DELETE to the
+        # same set keeps still-pending/blocked keys in the seen set (deleting
+        # a pending key would let a later discovery double-queue it)
+        requeue = (
+            retired.filter(F.col("state") == "done")
+            .join(keys, "url_h", "left_semi")
+            .withColumn("state", F.lit("pending"))
+            .select(*fixtures.FRONTIER_COLS)
+            .dropDuplicates(["url_h"])
+        )
+        st = self.store.read_snapshot("seen_cuckoo", wave)
+        _, st_del = seen.cuckoo_apply(
+            requeue.select("url_h"), st, self.cfg.cuckoo_partitions, "delete"
+        )
+        requeued, st_new = seen.cuckoo_apply(
+            requeue, st_del, self.cfg.cuckoo_partitions, "insert"
+        )
+        frontier = self.store.read_snapshot("frontier", wave)
+        new_frontier = frontier.unionByName(requeued.select(*fixtures.FRONTIER_COLS))
+        self.store.write_snapshot(st_new, "seen_cuckoo", wave + 1)
+        self.store.write_snapshot(new_frontier, "frontier", wave + 1)
+        n = requeued.count()
+        self.store.commit(
+            wave + 1, {"config": {"seen_mode": self.cfg.seen_mode}, "recrawl": n}
+        )
         return n
 
     # ---------------------------------------------------------------- outputs

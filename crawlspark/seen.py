@@ -142,12 +142,14 @@ def filter_new(
         ]
 
     keyed = df.withColumn("partition_id", F.pmod(F.col("url_h"), F.lit(p)).cast("int"))
+    # materialize the one cogrouped pass, then serve BOTH outputs (new rows +
+    # updated shard blobs) from the pinned blocks — a persist() here would
+    # leak a cached frame per wave for the session lifetime
     res = (
         keyed.groupBy("partition_id")
         .cogroup(state.groupBy("partition_id"))
         .applyInPandas(fn, out_schema)
-    )
-    res = res.persist()
+    ).localCheckpoint()
     new_rows = res.filter(~F.col("_is_state")).select(*in_cols, "partition_id")
     new_state = res.filter(F.col("_is_state")).select(
         F.col("partition_id"),
@@ -196,71 +198,148 @@ def dedup_exact(df: DataFrame, seen_keys: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# cuckoo filter (D3) — delete-capable fallback for re-crawls
+# cuckoo filter (D3) — delete-capable seen-set for re-crawls
 # ---------------------------------------------------------------------------
+# Standard partial-key cuckoo hashing (Fan et al., CoNEXT'14 — public).
+# Table = (n_buckets, 4) uint16 fingerprints, 0 = empty.  All batch ops
+# (fingerprint, bucket probe, membership, slot placement, deletion) are
+# vectorized numpy over the whole Arrow batch — per-row Python survives ONLY
+# in the rare kick-chain fallback (a key whose two buckets are both full).
 
 _CK_SLOTS = 4
 _CK_MAX_KICKS = 200
 
 
+def _ck_fp(u: np.ndarray) -> np.ndarray:
+    """uint16 fingerprint per key (0 remapped to 1: 0 means empty slot)."""
+    f = ((u ^ (u >> np.uint64(32))) & np.uint64(0xFFFF)).astype(np.uint16)
+    f[f == 0] = 1
+    return f
+
+
+def _ck_alt(b: np.ndarray, fp: np.ndarray, nb: int) -> np.ndarray:
+    """Partner bucket: b XOR (mix64(fp) mod nb), mod nb — an involution, so
+    either bucket recovers the other during kicks."""
+    h = _mix64(fp.astype(np.uint64))
+    return (b ^ (h % np.uint64(nb))) % np.uint64(nb)
+
+
+def _cumcount(keys: np.ndarray) -> np.ndarray:
+    """Occurrence rank of each element within its equal-key group (vectorized
+    groupby-cumcount): two same-bucket keys get ranks 0 and 1, so they claim
+    DIFFERENT empty slots in the batched scatter below."""
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    newgrp = np.r_[True, sk[1:] != sk[:-1]] if len(sk) else np.zeros(0, dtype=bool)
+    starts = np.flatnonzero(newgrp)
+    gid = np.cumsum(newgrp) - 1
+    c_sorted = np.arange(len(sk)) - starts[gid] if len(sk) else np.zeros(0, dtype=np.int64)
+    c = np.empty(len(keys), dtype=np.int64)
+    c[order] = c_sorted
+    return c
+
+
+def _ck_contains(t: np.ndarray, u: np.ndarray, nb: int) -> np.ndarray:
+    fp = _ck_fp(u)
+    b1 = u % np.uint64(nb)
+    b2 = _ck_alt(b1, fp, nb)
+    i1, i2 = b1.astype(np.int64), b2.astype(np.int64)
+    return (t[i1] == fp[:, None]).any(axis=1) | (t[i2] == fp[:, None]).any(axis=1)
+
+
+def _ck_kick(t: np.ndarray, u: int, fp: int, b: int, nb: int) -> bool:
+    """Kick chain for one key whose buckets are full (rare).  Deterministic
+    per key: the victim-slot RNG is seeded from the key."""
+    rng = np.random.default_rng(u & 0xFFFFFFFF)
+    for _ in range(_CK_MAX_KICKS):
+        slot = int(rng.integers(_CK_SLOTS))
+        fp, t[b, slot] = int(t[b, slot]), fp
+        b = int(
+            _ck_alt(np.array([b], dtype=np.uint64), np.array([fp], dtype=np.uint16), nb)[0]
+        )
+        empt = np.flatnonzero(t[b] == 0)
+        if len(empt):
+            t[b, empt[0]] = fp
+            return True
+    return False  # table full
+
+
+def _ck_insert(t: np.ndarray, u: np.ndarray, nb: int) -> None:
+    """Batch-insert keys (callers pass keys already known absent, deduped).
+    Two vectorized placement rounds (bucket 1, then bucket 2): within each
+    round a key claims the c-th empty slot of its bucket, c = its occurrence
+    rank among this batch's keys targeting that bucket — collision-free by
+    construction.  Leftovers (both buckets full) go to the kick chain."""
+    if not len(u):
+        return
+    fp = _ck_fp(u)
+    b1 = u % np.uint64(nb)
+    b2 = _ck_alt(b1, fp, nb)
+    pending = np.arange(len(u))
+    for buck_all in (b1, b2):
+        if not len(pending):
+            break
+        bb = buck_all[pending].astype(np.int64)
+        c = _cumcount(bb)
+        cum = (t[bb] == 0).cumsum(axis=1)
+        has = cum[:, -1] > c
+        pos = np.argmax(cum == (c + 1)[:, None], axis=1)
+        sel = pending[has]
+        t[bb[has], pos[has]] = fp[sel]
+        pending = pending[~has]
+    for i in pending:  # rare: kick chains only
+        _ck_kick(t, int(u[i]), int(fp[i]), int(b1[i]), nb)
+
+
+def _ck_delete(t: np.ndarray, u: np.ndarray, nb: int) -> np.ndarray:
+    """Batch-delete: clear one matching fingerprint slot per key (bucket 1
+    first, then bucket 2).  Same cumcount trick, grouped by (bucket, fp), so
+    two distinct keys sharing a fingerprint+bucket clear DIFFERENT slots.
+    Returns the per-key found mask."""
+    if not len(u):
+        return np.zeros(0, dtype=bool)
+    fp = _ck_fp(u)
+    b1 = u % np.uint64(nb)
+    b2 = _ck_alt(b1, fp, nb)
+    found = np.zeros(len(u), dtype=bool)
+    remaining = np.arange(len(u))
+    for buck_all in (b1, b2):
+        if not len(remaining):
+            break
+        bb = buck_all[remaining].astype(np.int64)
+        fps = fp[remaining]
+        key = (bb.astype(np.uint64) << np.uint64(16)) | fps.astype(np.uint64)
+        c = _cumcount(key)
+        cum = (t[bb] == fps[:, None]).cumsum(axis=1)
+        has = cum[:, -1] > c
+        pos = np.argmax(cum == (c + 1)[:, None], axis=1)
+        t[bb[has], pos[has]] = 0
+        found[remaining[has]] = True
+        remaining = remaining[~has]
+    return found
+
+
 class _Cuckoo:
-    """Single-shard cuckoo filter over numpy uint16 fingerprints (0 = empty).
-    Standard partial-key cuckoo hashing (Fan et al., CoNEXT'14 — public)."""
+    """Single-shard convenience wrapper over the vectorized kernel (used by
+    property tests and tiny driver-side checks; the Spark path calls the
+    batch functions directly)."""
 
     def __init__(self, n_buckets: int, table: np.ndarray | None = None):
         self.nb = n_buckets
         self.t = table if table is not None else np.zeros((n_buckets, _CK_SLOTS), dtype=np.uint16)
 
-    @staticmethod
-    def _fp(u: int) -> int:
-        f = (u ^ (u >> 32)) & 0xFFFF
-        return f if f != 0 else 1
-
-    def _b1(self, u: int) -> int:
-        return u % self.nb
-
-    def _b2(self, b1: int, fp: int) -> int:
-        h = int(_mix64(np.array([fp], dtype=np.uint64))[0])
-        return (b1 ^ (h % self.nb)) % self.nb
+    def _u(self, u: int) -> np.ndarray:
+        return np.array([u], dtype=np.uint64)
 
     def contains(self, u: int) -> bool:
-        fp = self._fp(u)
-        b1 = self._b1(u)
-        if fp in self.t[b1]:
-            return True
-        return fp in self.t[self._b2(b1, fp)]
+        return bool(_ck_contains(self.t, self._u(u), self.nb)[0])
 
     def insert(self, u: int) -> bool:
-        fp = self._fp(u)
-        b1 = self._b1(u)
-        b2 = self._b2(b1, fp)
-        for b in (b1, b2):
-            empt = np.where(self.t[b] == 0)[0]
-            if len(empt):
-                self.t[b, empt[0]] = fp
-                return True
-        # kick
-        rng = np.random.default_rng(u & 0xFFFFFFFF)  # deterministic per key
-        b = b1
-        for _ in range(_CK_MAX_KICKS):
-            slot = int(rng.integers(_CK_SLOTS))
-            fp, self.t[b, slot] = int(self.t[b, slot]), fp
-            b = self._b2(b, fp)
-            empt = np.where(self.t[b] == 0)[0]
-            if len(empt):
-                self.t[b, empt[0]] = fp
-                return True
-        return False  # table full
+        _ck_insert(self.t, self._u(u), self.nb)
+        return self.contains(u)
 
     def delete(self, u: int) -> bool:
-        fp = self._fp(u)
-        b1 = self._b1(u)
-        for b in (b1, self._b2(b1, fp)):
-            hits = np.where(self.t[b] == fp)[0]
-            if len(hits):
-                self.t[b, hits[0]] = 0
-                return True
-        return False
+        return bool(_ck_delete(self.t, self._u(u), self.nb)[0])
 
 
 CUCKOO_STATE_SCHEMA = T.StructType(
@@ -303,22 +382,19 @@ def cuckoo_apply(
             if len(right)
             else None
         )
-        ck = _Cuckoo(nb, table)
+        t = table if table is not None else np.zeros((nb, _CK_SLOTS), dtype=np.uint16)
         frames = []
         if len(left):
-            keep = []
-            for u in left["url_h"].to_numpy().astype(np.int64).view(np.uint64):
-                u = int(u)
-                if op == "insert":
-                    if ck.contains(u):
-                        keep.append(False)
-                    else:
-                        ck.insert(u)
-                        keep.append(True)
-                else:
-                    ck.delete(u)
-                    keep.append(True)
-            out = left.loc[np.array(keep, dtype=bool)].copy()
+            # within-batch duplicates: membership is a set op — dedup first
+            left = left.drop_duplicates(subset=["url_h"])
+            u = left["url_h"].to_numpy().astype(np.int64).view(np.uint64)
+            if op == "insert":
+                member = _ck_contains(t, u, nb)
+                _ck_insert(t, u[~member], nb)
+                out = left.loc[~member].copy()
+            else:
+                _ck_delete(t, u, nb)
+                out = left.copy()
             out["partition_id"] = pid
             out["_is_state"] = False
             out["_table"] = None
@@ -327,7 +403,7 @@ def cuckoo_apply(
         frames.append(
             pd.DataFrame(
                 [{c: None for c in in_cols}
-                 | {"partition_id": pid, "_is_state": True, "_table": ck.t.tobytes(),
+                 | {"partition_id": pid, "_is_state": True, "_table": t.tobytes(),
                     "_n_buckets": nb}]
             )
         )
@@ -336,11 +412,13 @@ def cuckoo_apply(
         ]
 
     keyed = df.withColumn("partition_id", F.pmod(F.col("url_h"), F.lit(p)).cast("int"))
+    # materialize the one cogrouped pass, then serve BOTH outputs from the
+    # pinned blocks — a persist() here would leak a cached frame per call
     res = (
         keyed.groupBy("partition_id")
         .cogroup(state.groupBy("partition_id"))
         .applyInPandas(fn, out_schema)
-    ).persist()
+    ).localCheckpoint()
     rows = res.filter(~F.col("_is_state")).select(*in_cols, "partition_id")
     new_state = res.filter(F.col("_is_state")).select(
         "partition_id", F.col("_table").alias("table"), F.col("_n_buckets").alias("n_buckets")
