@@ -68,13 +68,14 @@ def q03_like_classify(spark, sf_dir):
 def _doc_url(c_source, c_doc_id, c_n_chars):
     """Deterministic messy URL built from document columns — exercises every
     canonicalization rule (case, default port, tracking params, unsorted
-    query, fragment, trailing slash)."""
+    query, fragment, trailing slash, percent-escapes: %61 decodes to 'a',
+    %2f must re-encode as %2F, %7E decodes to '~')."""
     return F.concat(
         F.lit("HTTPS://Docs.Example.COM:443/"),
         c_source,
-        F.lit("/page/"),
+        F.lit("/p%61ge%2f"),
         (c_doc_id % 10).cast("string"),
-        F.lit("/?utm_source=x&b="),
+        F.lit("/%7Edoc?utm_source=x&b="),
         (c_n_chars % 7).cast("string"),
         F.lit("&a=1#frag"),
     )
@@ -93,14 +94,18 @@ def q04_canonicalize(spark, sf_dir):
 
 
 def q05_explode_sequence(spark, sf_dir):
-    # pagination fanout: n_pages = ceil(n_chars/100); one row per page offset
+    # pagination fanout: n_pages = ceil(n_chars/100); one row per page offset.
+    # Guarded against n_pages == 0: Spark's sequence(0, -1) yields the
+    # DESCENDING [0, -1], not empty (the sequence(1, 0) trap) — the oracle's
+    # range(0, 0) is empty, so an empty doc must fan out to zero rows.
     d = read(spark, sf_dir, "documents")
+    pages = F.when(
+        F.col("n_pages") >= 1,
+        F.sequence(F.lit(0).cast("long"), F.col("n_pages") - 1),
+    ).otherwise(F.array().cast("array<long>"))
     return (
         d.withColumn("n_pages", F.ceil(F.col("n_chars") / F.lit(100.0)).cast("long"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_pages") - 1)).alias("k"),
-        )
+        .select("doc_id", F.explode(pages).alias("k"))
         .withColumn("page_offset", (F.col("k") * 100).cast("long"))
     )
 
@@ -402,6 +407,33 @@ def q47_sessionize_lag(spark, sf_dir):
     )
 
 
+def q48_three_table_topk(spark, sf_dir):
+    """TPC-H Q3 shape — the suite's 3-table analytic join: customer ⋈ orders
+    ⋈ lineitem with segment + date filters, per-order revenue aggregation,
+    deterministic top-10.  The filtered customer side is dimension-scale
+    (AQE broadcasts it from measured size — no forced hint, a web-scale
+    customer table must be allowed to shuffle); orders ⋈ lineitem is the big
+    fact-fact join and shuffles on the order key.  Top-10 compiles to
+    TakeOrderedAndProject (per-partition heap + merge), never a full global
+    sort."""
+    c = read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_scan_filter": q02_scan_filter,
@@ -433,22 +465,42 @@ QUERIES = {
     "q28_exists_subquery": q28_exists_subquery,
     "q29_scalar_subquery": q29_scalar_subquery,
     "q47_sessionize_lag": q47_sessionize_lag,
+    "q48_three_table_topk": q48_three_table_topk,
 }
 
 # DuckDB mirror of urlkit.canonicalize — token-for-token the same pipeline
-# (strip fragment -> lower scheme/host -> drop default port -> trim trailing
-# slash -> drop tracking params -> sort remaining query params).
+# (strip fragment -> normalize percent-escapes (unreserved decoded, kept
+# escapes upper-hexed) -> lower scheme/host -> drop default port -> trim
+# trailing slash -> drop tracking params -> sort remaining query params).
 _CANON_SQL = """
 WITH u0 AS (
   SELECT doc_id,
-         'HTTPS://Docs.Example.COM:443/' || source || '/page/' ||
-         CAST(doc_id % 10 AS VARCHAR) || '/?utm_source=x&b=' ||
+         'HTTPS://Docs.Example.COM:443/' || source || '/p%61ge%2f' ||
+         CAST(doc_id % 10 AS VARCHAR) || '/%7Edoc?utm_source=x&b=' ||
          CAST(n_chars % 7 AS VARCHAR) || '&a=1#frag' AS url
   FROM documents
+), p0 AS (
+  SELECT doc_id,
+         regexp_replace(trim(url), '#.*', '') AS raw
+  FROM u0
 ), parts AS (
   SELECT doc_id,
-         regexp_replace(trim(url), '#.*', '') AS u
-  FROM u0
+         string_split(raw, '%')[1] ||
+         array_to_string(list_transform(string_split(raw, '%')[2:],
+           p -> CASE
+             WHEN regexp_matches(substr(p, 1, 2), '^[0-9A-Fa-f]{2}$') THEN
+               CASE WHEN regexp_matches(
+                      chr(CAST((strpos('0123456789ABCDEF', upper(substr(p, 1, 1))) - 1) * 16
+                          + strpos('0123456789ABCDEF', upper(substr(p, 2, 1))) - 1 AS INTEGER)),
+                      '^[A-Za-z0-9._~\\-]$')
+                    THEN chr(CAST((strpos('0123456789ABCDEF', upper(substr(p, 1, 1))) - 1) * 16
+                             + strpos('0123456789ABCDEF', upper(substr(p, 2, 1))) - 1 AS INTEGER))
+                         || substr(p, 3)
+                    ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3)
+               END
+             ELSE '%' || p
+           END), '') AS u
+  FROM p0
 ), comp AS (
   SELECT doc_id,
          lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS sch,
@@ -608,6 +660,18 @@ ORACLE = {
     "q29_scalar_subquery": (
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
         "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "q48_three_table_topk": (
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, revenue FROM ("
+        "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "AND l_shipdate > TIMESTAMP '1998-01-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority) "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
     ),
     "q47_sessionize_lag": (
         "WITH g AS (SELECT user_id, event_id, ts, "

@@ -26,6 +26,42 @@ def strip_fragment(url: Column) -> Column:
     return F.regexp_replace(F.trim(url), r"#.*", "")
 
 
+_HEX_DIGITS = "0123456789ABCDEF"
+_UNRESERVED_RE = r"^[A-Za-z0-9._~\-]$"
+
+
+def pct_normalize(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, in pure native
+    expressions: decode escapes of UNRESERVED characters (%7E ≡ ~, %41 ≡ A)
+    and uppercase the hex of every escape that must stay encoded (%2f →
+    %2F).  Decoding an unreserved char can never introduce a URL delimiter,
+    so this is safe to apply to the whole string before component parsing.
+    Malformed escapes ('%G1', trailing '%') pass through verbatim.
+    Idempotent (property-tested)."""
+    parts = F.split(url, "%", -1)
+
+    def piece(p: Column) -> Column:
+        hx = p.substr(1, 2)
+        rest = p.substr(F.lit(3), F.length(p))
+        valid = hx.rlike("^[0-9A-Fa-f]{2}$")
+        code = (
+            (F.instr(F.lit(_HEX_DIGITS), F.upper(p.substr(1, 1))) - 1) * 16
+            + F.instr(F.lit(_HEX_DIGITS), F.upper(p.substr(2, 1)))
+            - 1
+        )
+        ch = F.char(code)
+        return (
+            F.when(valid & ch.rlike(_UNRESERVED_RE), F.concat(ch, rest))
+            .when(valid, F.concat(F.lit("%"), F.upper(hx), rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+    return F.concat(
+        F.element_at(parts, 1), F.array_join(F.transform(tail, piece), "")
+    )
+
+
 def scheme(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
 
@@ -62,9 +98,10 @@ def _query(url: Column) -> Column:
 
 def canonicalize(url: Column) -> Column:
     """Canonical URL: lowercase scheme+host, default port stripped, fragment
-    stripped, trailing slashes trimmed, tracking params dropped, remaining
-    query params sorted.  Idempotent (property-tested)."""
-    u = strip_fragment(url)
+    stripped, percent-escapes normalized (unreserved decoded, kept escapes
+    upper-hexed), trailing slashes trimmed, tracking params dropped,
+    remaining query params sorted.  Idempotent (property-tested)."""
+    u = pct_normalize(strip_fragment(url))
     sch = scheme(u)
     hp = hostport(u)
     hst = F.regexp_replace(hp, r":\d+$", "")

@@ -16,6 +16,14 @@ CASES = [
     ("https://h.com/p#frag", "https://h.com/p"),
     ("https://h.com", "https://h.com/"),
     ("  https://h.com/x  ", "https://h.com/x"),
+    # RFC 3986 §6.2.2 percent-encoding normalization
+    ("https://h.com/%7Euser/%41b", "https://h.com/~user/Ab"),
+    ("https://h.com/%7e", "https://h.com/~"),
+    ("https://h.com/a%2fb", "https://h.com/a%2Fb"),
+    ("https://h.com/50%25off", "https://h.com/50%25off"),
+    ("https://h.com/bad%zz", "https://h.com/bad%zz"),
+    ("https://h.com/trail%", "https://h.com/trail%"),
+    ("https://h.com/p?a=%31&b=%2a", "https://h.com/p?a=1&b=%2A"),
 ]
 
 
