@@ -109,6 +109,53 @@ def windowed_fetch_counts(
     )
 
 
+def run_engine_stream(engine, checkpoint_dir: str, max_waves: int = 50) -> int:
+    """foreachBatch skin over the full batch engine (SURVEY §2 I1's streaming
+    option): each micro-batch of an unbounded tick stream drives exactly ONE
+    engine wave via ``engine.step()``.  All crawl state lives in the engine's
+    StateStore (per-wave snapshot + atomic manifest commit), so the streaming
+    run is kill/resumable exactly like the batch loop AND produces the
+    identical canonical crawl order (asserted by the streaming twin of the
+    exact-mode equality test).
+
+    The rate source is only a tick generator — the frontier itself is the
+    StateStore's snapshot table, which is what a production deployment would
+    use too (a stream of wave triggers over a table-backed frontier, the
+    standard incremental-batch pattern).  Returns the number of waves run."""
+    import time
+
+    engine.bootstrap()
+    spark = engine.spark
+    state = {"waves": 0, "done": False}
+
+    def one_wave(batch_df, batch_id):
+        if state["done"] or state["waves"] >= max_waves:
+            return
+        if engine.step():
+            state["waves"] += 1
+        else:
+            state["done"] = True
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.foreachBatch(one_wave)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("crawl-engine-stream")
+        .start()
+    )
+    try:
+        while not state["done"] and state["waves"] < max_waves:
+            if q.exception() is not None:
+                raise q.exception()
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return state["waves"]
+
+
 def run_to_sink(
     df: DataFrame, checkpoint_dir: str, out_dir: str, query_name: str = "crawlstream"
 ):

@@ -85,3 +85,32 @@ def test_streaming_windowed_counts_with_watermark(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     assert len(got) >= 4  # the four 1-minute windows of the original data
     assert (got.groupby("start").n_fetched.sum() >= 1).all()
+
+
+def test_engine_stream_twin_of_batch_exact_mode(spark):
+    """I1 streaming skin: one engine wave per micro-batch (foreachBatch over
+    a tick stream) must reproduce the frozen oracle's exact crawl order on
+    the 100-hotel fixture — the streaming twin of test_exact_mode."""
+    import shutil
+    import tempfile
+
+    from crawlspark.engine import CrawlEngine, EngineConfig
+    from crawlspark import streaming as st
+    from oracle_ref import run_oracle
+
+    oracle = run_oracle(100)
+    d = tempfile.mkdtemp(prefix="crawlspark_stream_eng_")
+    ckpt = tempfile.mkdtemp(prefix="crawlspark_stream_ckpt_")
+    try:
+        eng = CrawlEngine(spark, EngineConfig(n_hotels=100, seen_mode="exact"), d)
+        waves = st.run_engine_stream(eng, ckpt)
+        assert waves > 0
+        log = eng.crawl_log()
+        order = [
+            (r["crawl_seq"], r["url"])
+            for r in log.orderBy("crawl_seq").select("crawl_seq", "url").collect()
+        ]
+        assert order == oracle.crawl_order
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
