@@ -39,6 +39,11 @@ HEADLINE = [
     "q34_ann_cosine",
     "q36_quality_score",
     "q38_fingerprint",
+    # expensive dedup/ANN/CC paths tracked per round (VERDICT r1 item 10)
+    "q40_embedding_neardup",
+    "q41_ann_lsh",
+    "q45_neardup_components",
+    "q48_three_table_topk",
 ]
 
 
