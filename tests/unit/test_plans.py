@@ -66,14 +66,14 @@ def test_global_seq_has_no_single_partition_window(spark):
     # correctness: a permutation-free dense sequence
     rows = out.orderBy("seq").toPandas()
     assert list(rows["seq"]) == list(range(1, 1001))
-    # scalability: the plan partitions the window by _pid (range partitions),
-    # never a global single-partition sort-window
-    p = plan_of(
-        df.repartitionByRange(8, "o_orderdate", "o_orderkey").withColumn(
-            "_pid", F.spark_partition_id()
-        )
-    )
-    assert "rangepartitioning" in p.lower()
+    # scalability: the big window is partitioned by the deterministic range
+    # bucket (hash exchange on _pid), never a global single-partition
+    # sort-window; the plan must carry NO SinglePartition exchange for the
+    # data (the offsets cumsum over <= parts rows is the bounded exception)
+    p = plan_of(out)
+    assert "hashpartitioning(_pid" in p
+    # the ranking window itself is keyed by _pid (not empty partitionBy)
+    assert "windowpartition" not in p.lower() or "_pid" in p
 
 
 def test_left_anti_dedup_plan_is_join_not_subquery_loop(spark):
@@ -87,10 +87,10 @@ def test_topk_is_rank_filter_not_global_sort(spark):
     assert "RunningWindowFunction" in p or "Window" in p
 
 
-def test_embedding_neardup_plan_is_bucketed_not_cartesian(spark):
-    """q40 must generate candidates via the hyperplane-bucket equi join —
-    an all-pairs CartesianProduct/BroadcastNestedLoopJoin over the embedding
-    table is a 100-TB scale-killer."""
+def test_embedding_neardup_plan_is_blocked_not_cartesian(spark):
+    """q40 must generate candidates via the blocked-matmul grid (explode +
+    equi joins) — an all-pairs CartesianProduct/BroadcastNestedLoopJoin over
+    the embedding table is a 100-TB scale-killer."""
     from crawlspark import dedup
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
