@@ -102,34 +102,76 @@ def rank_topk_salted(df: DataFrame, k: int, salt_buckets: int = 32) -> DataFrame
     )
 
 
+def _range_bucket_expr(df: DataFrame, order_cols, parts: int):
+    """Deterministic range-bucket assignment: sample boundary key tuples
+    ONCE driver-side (key columns only — pushdown-friendly, tiny) and embed
+    them as literals, so a row's bucket is a pure function of its key and
+    any recompute re-buckets identically — no persist / localCheckpoint
+    pinning of the data.  Correctness needs only monotonicity (every key in
+    bucket i sorts <= every key in bucket i+1); equal keys always share a
+    bucket because the comparison is a closed >= on the full key tuple, so
+    bucket-rank + offsets is a valid total order for ANY bounds."""
+    # native columnar sample (key columns only, JVM-side — never the Python
+    # RDD serializer): one cheap count sizes the fraction, exactly as
+    # Spark's own RangePartitioner does internally
+    k = parts * 32
+    n = df.count()
+    frac = min(1.0, (k * 1.2 / n) if n else 1.0)
+    sample = [
+        tuple(r)
+        for r in df.select(*order_cols).sample(False, frac, seed=7).limit(k).collect()
+        if all(v is not None for v in tuple(r))
+    ]
+    bounds: list[tuple] = []
+    if sample:
+        svals = sorted(set(sample))
+        step = len(svals) / parts
+        seen = set()
+        for i in range(1, parts):
+            t = svals[min(int(step * i), len(svals) - 1)]
+            if t not in seen:
+                seen.add(t)
+                bounds.append(t)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    key_struct = F.struct(
+        *[F.col(c).alias(f"k{i}") for i, c in enumerate(order_cols)]
+    )
+    bucket = F.lit(0)
+    for b in sorted(bounds):
+        bstruct = F.struct(
+            *[
+                F.lit(v).cast(dtypes[c]).alias(f"k{i}")
+                for i, (c, v) in enumerate(zip(order_cols, b))
+            ]
+        )
+        bucket = bucket + F.when(key_struct >= bstruct, 1).otherwise(0)
+    return bucket, len(bounds) + 1
+
+
 def assign_global_seq(
     df: DataFrame, order_cols=None, seq_col: str = "crawl_seq", num_parts: int | None = None
 ) -> DataFrame:
     """Deterministic, scalable global sequence assignment (G4).
 
     A naive row_number over a global Window funnels everything through one
-    partition; instead: range-partition + sort by the key (each partition
-    holds a contiguous key range), then per-partition row_number plus a
-    broadcast map of partition-start offsets.  Two jobs, no single-partition
-    stage — survives a 100× scale-up."""
+    partition; instead: explicit range-bucket by the key (literal bounds
+    sampled once driver-side, so every recompute buckets identically —
+    _range_bucket_expr), then per-bucket row_number plus a broadcast map of
+    bucket-start offsets.  Three bounded jobs (key-only sample, bucket
+    counts, final rank) and ZERO cached or materialized state — Spark's own
+    repartitionByRange would re-SAMPLE its partitioner on every recompute,
+    forcing a persist (cache leak) or localCheckpoint (eager materialization
+    of the whole table) to keep the two passes consistent.  No
+    single-partition stage; survives a 100× scale-up."""
     order_cols = order_cols or CANONICAL_ORDER_COLS
     spark = df.sparkSession
     parts = num_parts or spark.sparkContext.defaultParallelism
     oc = [F.col(c) for c in order_cols]
-    # localCheckpoint pins ONE sampling of the range partitioner for both
-    # jobs (the partitioner is sampled, so an unpinned recompute could
-    # re-bucket rows) AND leaves no session-lifetime cache behind — a
-    # persist() here would leak a cached frame per call (the blocks of a
-    # localCheckpoint are dropped by the ContextCleaner once the frame is
-    # garbage-collected)
-    d = (
-        df.repartitionByRange(parts, *oc)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    # partition-start offsets: cumsum over the per-partition counts — the
-    # only single-partition stage, bounded by the partition COUNT (<= parts
-    # rows), never by the data
+    bucket, n_buckets = _range_bucket_expr(df, order_cols, parts)
+    d = df.withColumn("_pid", bucket).repartition(n_buckets, "_pid")
+    # bucket-start offsets: cumsum over the per-bucket counts — the only
+    # single-partition stage, bounded by the bucket COUNT (<= parts rows),
+    # never by the data
     counts = d.groupBy("_pid").agg(F.count("*").alias("_c"))
     w0 = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
