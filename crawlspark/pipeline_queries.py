@@ -143,6 +143,81 @@ def q46_tfidf(spark, sf_dir):
     )
 
 
+def q49_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling per source — the per-domain
+    rate-capping step of a training-corpus mix.  The sampling key is a
+    CONTENT hash bucket (md5 of the text), so the sample is stable under
+    doc re-ids and identical on any engine; the per-source rate here derives
+    from the source name (stand-in for a curated mix table, which at scale
+    is a broadcast dimension).  Never rand()/sample(): non-deterministic
+    samples cannot be audited or reproduced."""
+    d = read(spark, sf_dir, "documents")
+    m = F.md5(F.col("text"))
+    bucket = (
+        F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1))
+    ) % 100
+    rate = F.lit(10) + (F.ascii(F.substring(F.col("source"), -1, 1)) % 5) * 10
+    return (
+        d.withColumn("bucket", bucket.cast("int"))
+        .withColumn("rate", rate.cast("int"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "source", "bucket", "rate")
+    )
+
+
+def q50_pii_scrub(spark, sf_dir):
+    """PII detection + redaction stats: count email-/phone-shaped spans and
+    measure the redacted length.  The synthetic contact block is appended
+    deterministically from doc_id (the corpus text itself is clean), so both
+    engines scrub byte-identical inputs.  All regexp work is native
+    (JVM-side in Spark); at 100 TB this is a map-only pass."""
+    d = read(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example.com or call 555-0"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    phone_re = "[0-9]{3}-[0-9]{1,4}"
+    both = f"({email_re}|{phone_re})"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text2, F.lit(email_re), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text2, F.lit(phone_re), F.lit(0))).alias("n_phones"),
+        F.length(F.regexp_replace(text2, both, "<PII>")).alias("redacted_len"),
+    )
+
+
+def q51_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signal (Rae et al. 2021, public):
+    fraction of duplicate word 2-grams per doc — high values flag boilerplate
+    /spam for corpus filtering.  Pure per-row array expressions: no shuffle,
+    map-only at any scale."""
+    d = read(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    idx = textproc.seq1(F.size(w) - F.lit(1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i.cast("int")), F.element_at(w, (i + 1).cast("int"))
+        ),
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return d.select(
+        "doc_id",
+        total.cast("long").alias("n_2grams"),
+        distinct.cast("long").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - distinct.cast("double") / F.greatest(total, F.lit(1)).cast("double"), 4
+        ).alias("dup_2gram_frac"),
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -166,6 +241,9 @@ QUERIES = {
     "q44_ann_cosine_arrow": q44_ann_cosine_arrow,
     "q45_neardup_components": q45_neardup_components,
     "q46_tfidf": q46_tfidf,
+    "q49_stratified_sample": q49_stratified_sample,
+    "q50_pii_scrub": q50_pii_scrub,
+    "q51_repetition_stats": q51_repetition_stats,
 }
 
 _SHINGLE_CTE = """
@@ -319,6 +397,32 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents) "
         "SELECT doc_id, word, tf, round(tf * ln(n_docs / df), 6) AS tfidf "
         "FROM tf JOIN dfw USING (word), n"
+    ),
+    "q49_stratified_sample": (
+        "SELECT doc_id, source, bucket, rate FROM ("
+        "SELECT doc_id, source, "
+        "CAST((ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 100 AS INTEGER) AS bucket, "
+        "CAST(10 + (ascii(substr(source, length(source), 1)) % 5) * 10 AS INTEGER) AS rate "
+        "FROM documents) WHERE bucket < rate"
+    ),
+    "q50_pii_scrub": (
+        "WITH t AS (SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR) "
+        "|| '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.example.com or call 555-0' "
+        "|| CAST(doc_id % 100 AS VARCHAR) AS text2 FROM documents) "
+        "SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_emails, "
+        "CAST(len(regexp_extract_all(text2, '[0-9]{3}-[0-9]{1,4}')) AS INTEGER) AS n_phones, "
+        "CAST(length(regexp_replace(text2, '([A-Za-z0-9._]+@[A-Za-z0-9.-]+|[0-9]{3}-[0-9]{1,4})', '<PII>', 'g')) AS INTEGER) AS redacted_len "
+        "FROM t"
+    ),
+    "q51_repetition_stats": (
+        "WITH g AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents), "
+        "h AS (SELECT doc_id, list_transform(range(1, greatest(len(ws), 1)), "
+        "i -> ws[i] || ' ' || ws[i+1]) AS grams FROM g) "
+        "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_2grams, "
+        "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct, "
+        "round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / greatest(len(grams), 1), 4) AS dup_2gram_frac "
+        "FROM h"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
