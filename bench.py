@@ -155,6 +155,40 @@ def bench_bloom(spark, n_keys: int = 2_000_000, p: int = 64, m: int = 1 << 19):
     }
 
 
+def bench_cuckoo(spark, n_keys: int = 2_000_000, p: int = 64, n_buckets: int = 1 << 15):
+    """D3 delete-capable seen-set throughput through the vectorized numpy
+    path: insert n_keys fresh hashes, re-probe them (all dropped), delete a
+    quarter, re-insert that quarter (all admitted again)."""
+    from crawlspark import seen
+
+    keys = spark.range(n_keys).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_h")
+    )
+    quarter = keys.filter(F.pmod(F.col("url_h"), F.lit(4)) == 0)
+    state = seen.cuckoo_empty_state(spark, p, n_buckets)
+    t0 = time.time()
+    new_rows, st1 = seen.cuckoo_apply(keys, state, p, "insert")
+    n_new = new_rows.count()
+    dup_rows, st2 = seen.cuckoo_apply(keys, st1, p, "insert")
+    n_dup = dup_rows.count()
+    _, st3 = seen.cuckoo_apply(quarter, st2, p, "delete")
+    back, _ = seen.cuckoo_apply(quarter, st3, p, "insert")
+    n_back = back.count()
+    sec = time.time() - t0
+    n_q = quarter.count()
+    assert n_dup == 0, f"cuckoo false negatives? {n_dup} rows re-admitted"
+    assert n_back == n_q, f"deleted keys not re-admitted: {n_back} != {n_q}"
+    ops = 2 * n_keys + 2 * n_q
+    return {
+        "n_keys": n_keys,
+        "shards": p,
+        "sec": round(sec, 3),
+        "keys_per_sec": round(ops / sec, 1),
+        "n_inserted": n_new,
+        "n_deleted_reinserted": n_back,
+    }
+
+
 def run_queries(spark, sf_dir):
     import __spark_entry__ as entry_mod
 
@@ -247,6 +281,7 @@ def main():
     spark = get_spark(parallelism=cpus, app_name="crawlspark-bench")
     q_secs = run_queries(spark, sf_dir)
     bloom = bench_bloom(spark)
+    cuckoo = bench_cuckoo(spark)
     spark.stop()
 
     # best-of-2: single runs on this shared host are a lottery (external
@@ -329,6 +364,7 @@ def main():
                     "take_k_per_host": 2000,
                 },
                 "bloom_seen_set": bloom,
+                "cuckoo_seen_set": cuckoo,
                 "scaling": scaling,
             }
         )
