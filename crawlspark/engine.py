@@ -141,6 +141,20 @@ class CrawlEngine:
     def _crawl_log_raw(self, upto_wave: int) -> DataFrame | None:
         return self.store.read_deltas("crawl_log", upto_wave)
 
+    def _host_counts(self, wave: int) -> DataFrame | None:
+        """Per-host fetched-so-far counts for the token-bucket clock.
+        Maintained as a tiny running snapshot (n_hosts rows) rolled forward
+        each wave — re-aggregating the full crawl_log history every wave
+        would read O(W²) deltas over a crawl's lifetime.  Falls back to the
+        history aggregation when resuming a state dir from an older layout."""
+        try:
+            return self.store.read_snapshot("host_counts", wave)
+        except Exception:
+            log_prev = self._crawl_log_raw(wave)
+            if log_prev is None:
+                return None
+            return log_prev.groupBy("host").agg(F.count("*").alias("n_prior"))
+
     # ------------------------------------------------------------------- step
 
     def step(self) -> bool:
@@ -179,10 +193,7 @@ class CrawlEngine:
             deferred = (
                 ranked.filter(F.col("host_rank") > cfg.take_k) if cfg.take_k else None
             )
-        prior = None
-        log_prev = self._crawl_log_raw(wave)
-        if log_prev is not None:
-            prior = log_prev.groupBy("host").agg(F.count("*").alias("n_prior"))
+        prior = self._host_counts(wave)
         batch = polite.schedule(batch, prior)
 
         # K1 salted repartition for the fetch stage (defeat per-host skew),
@@ -255,6 +266,16 @@ class CrawlEngine:
         for p in parts[1:]:
             new_frontier = new_frontier.unionByName(p)
 
+        # roll the per-host fetch counts forward (n_hosts rows, tiny)
+        batch_counts = fetched.groupBy("host").agg(F.count("*").alias("n_prior"))
+        if prior is not None:
+            batch_counts = (
+                prior.unionByName(batch_counts)
+                .groupBy("host")
+                .agg(F.sum("n_prior").alias("n_prior"))
+            )
+        self.store.write_snapshot(batch_counts, "host_counts", wave + 1)
+
         self.store.write_delta(retired, "retired", wave)
         self.store.write_delta(log_new, "crawl_log", wave)
         self.store.write_delta(span_rows, "spans", wave)
@@ -312,6 +333,9 @@ class CrawlEngine:
         new_frontier = frontier.unionByName(requeued.select(*fixtures.FRONTIER_COLS))
         self.store.write_snapshot(st_new, "seen_cuckoo", wave + 1)
         self.store.write_snapshot(new_frontier, "frontier", wave + 1)
+        hc = self._host_counts(wave)
+        if hc is not None:
+            self.store.write_snapshot(hc, "host_counts", wave + 1)
         n = requeued.count()
         self.store.commit(
             wave + 1, {"config": {"seen_mode": self.cfg.seen_mode}, "recrawl": n}
