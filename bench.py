@@ -123,7 +123,10 @@ def bench_frontier(spark, n_urls: int, take_k: int | None = 2000):
         batch = sched.rank(cand.dropDuplicates(["url_h"]))
     batch = polite.schedule(batch)
     keyed = sched.with_canonical_key(batch)
-    out = sched.assign_global_seq(keyed)
+    # pin="local": keyed is an expensive UNMATERIALIZED pipeline here (the
+    # engine writes its batch to parquet before sequencing, so it uses the
+    # zero-state bounds mode instead)
+    out = sched.assign_global_seq(keyed, pin="local")
     n_sched = out.count()
     sec = time.time() - t0
     return sec, n_urls, n_sched

@@ -149,26 +149,46 @@ def _range_bucket_expr(df: DataFrame, order_cols, parts: int):
 
 
 def assign_global_seq(
-    df: DataFrame, order_cols=None, seq_col: str = "crawl_seq", num_parts: int | None = None
+    df: DataFrame,
+    order_cols=None,
+    seq_col: str = "crawl_seq",
+    num_parts: int | None = None,
+    pin: str = "none",
 ) -> DataFrame:
     """Deterministic, scalable global sequence assignment (G4).
 
     A naive row_number over a global Window funnels everything through one
-    partition; instead: explicit range-bucket by the key (literal bounds
-    sampled once driver-side, so every recompute buckets identically —
-    _range_bucket_expr), then per-bucket row_number plus a broadcast map of
-    bucket-start offsets.  Three bounded jobs (key-only sample, bucket
-    counts, final rank) and ZERO cached or materialized state — Spark's own
-    repartitionByRange would re-SAMPLE its partitioner on every recompute,
-    forcing a persist (cache leak) or localCheckpoint (eager materialization
-    of the whole table) to keep the two passes consistent.  No
-    single-partition stage; survives a 100× scale-up."""
+    partition; instead: range-bucket by the key, then per-bucket row_number
+    plus a broadcast map of bucket-start offsets.  No single-partition
+    stage; survives a 100× scale-up.
+
+    Two pinning modes, because the multi-pass scheme must see a CONSISTENT
+    bucketing across its passes:
+    - pin="none" (default): explicit literal range bounds sampled once
+      driver-side (_range_bucket_expr) — every recompute re-buckets
+      identically, so NOTHING is cached or materialized.  Right whenever
+      upstream is a (re)readable table scan: at 10^10 rows re-scanning
+      parquet 3× beats materializing the table once.
+    - pin="local": Spark's own repartitionByRange + spark_partition_id,
+      pinned by an eager localCheckpoint (blocks are freed with the frame —
+      no session-lifetime cache).  ONE upstream execution total — right when
+      upstream is an expensive unmaterialized pipeline (the bench frontier's
+      canonicalize→dedup→rank chain; the engine instead checkpoints state to
+      parquet each wave, so its reads use pin="none").
+    """
     order_cols = order_cols or CANONICAL_ORDER_COLS
     spark = df.sparkSession
     parts = num_parts or spark.sparkContext.defaultParallelism
     oc = [F.col(c) for c in order_cols]
-    bucket, n_buckets = _range_bucket_expr(df, order_cols, parts)
-    d = df.withColumn("_pid", bucket).repartition(n_buckets, "_pid")
+    if pin == "local":
+        d = (
+            df.repartitionByRange(parts, *oc)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint()
+        )
+    else:
+        bucket, n_buckets = _range_bucket_expr(df, order_cols, parts)
+        d = df.withColumn("_pid", bucket).repartition(n_buckets, "_pid")
     # bucket-start offsets: cumsum over the per-bucket counts — the only
     # single-partition stage, bounded by the bucket COUNT (<= parts rows),
     # never by the data
