@@ -110,3 +110,17 @@ def test_topk_lsh_plan_has_no_cartesian_and_no_literal_planes(spark):
     assert "CartesianProduct" not in p
     # the old implementation inlined ~3072 float literals into the plan
     assert p.count("0.") < 500, "plane components leaked into the plan as literals"
+
+
+def test_global_seq_pin_modes_agree(spark):
+    """pin='local' (one pinned execution) and pin='none' (literal bounds,
+    zero state) must produce the identical dense sequence."""
+    from crawlspark import sched
+
+    df = spark.range(5000).select(
+        (F.col("id") * 37 % 1000).alias("a"), F.col("id").alias("b")
+    )
+    x = sched.assign_global_seq(df, order_cols=["a", "b"], seq_col="seq").orderBy("seq").toPandas()
+    y = sched.assign_global_seq(df, order_cols=["a", "b"], seq_col="seq", pin="local").orderBy("seq").toPandas()
+    assert list(x["seq"]) == list(range(1, 5001))
+    assert (x[["a", "b", "seq"]].values == y[["a", "b", "seq"]].values).all()

@@ -58,3 +58,44 @@ def test_hash_changes_with_canonical_form(spark):
     from crawlspark.xxh import xxh64_str
 
     assert out["url_h"] == xxh64_str(out["url_canon"])
+
+
+def test_pct_normalize_matches_python_reference(spark):
+    """Property: the native pct_normalize expression equals an independent
+    Python RFC 3986 §6.2.2 reference on adversarial escape soup, and is
+    idempotent."""
+    import string
+
+    def ref(s: str) -> str:
+        unreserved = string.ascii_letters + string.digits + "._~-"
+        hexd = set("0123456789abcdefABCDEF")
+        parts = s.split("%")
+        out = [parts[0]]
+        for p in parts[1:]:
+            hx = p[:2]
+            if len(hx) == 2 and all(c in hexd for c in hx):
+                ch = chr(int(hx, 16))
+                if ch in unreserved:
+                    out.append(ch + p[2:])
+                else:
+                    out.append("%" + hx.upper() + p[2:])
+            else:
+                out.append("%" + p)
+        return "".join(out)
+
+    cases = []
+    alphabet = "ab7E%2fF~._-/?&=%%41%7e%zz%0a%FF%f"
+    for i in range(200):
+        # deterministic pseudo-random slices of the escape soup
+        start = (i * 7) % len(alphabet)
+        end = min(len(alphabet), start + 3 + (i * 13) % 30)
+        cases.append(alphabet[start:end] + alphabet[: (i * 5) % 11])
+    cases += ["", "%", "%%", "%4", "%zz", "a%", "%41%42%43", "%2f%2F", "x%7e~"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = df.select(
+        "s",
+        urlkit.pct_normalize(F.col("s")).alias("n1"),
+    ).withColumn("n2", urlkit.pct_normalize(F.col("n1")))
+    for r in got.collect():
+        assert r["n1"] == ref(r["s"]), (r["s"], r["n1"], ref(r["s"]))
+        assert r["n2"] == r["n1"], f"not idempotent: {r['s']} -> {r['n1']} -> {r['n2']}"
