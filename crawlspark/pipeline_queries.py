@@ -38,7 +38,12 @@ def q31_jaccard_shingles(spark, sf_dir):
 
 
 def q32_minhash_lsh(spark, sf_dir):
-    sigs = dedup.minhash_signatures(read(spark, sf_dir, "documents"))
+    # pin the signatures: lsh_candidate_pairs consumes them from four plan
+    # subtrees (both sides of the bucket join + both signature re-joins),
+    # and the 64-min aggregation over the shingle table is the expensive
+    # stage — at production scale signatures are materialized to a table
+    # between the two operators for the same reason
+    sigs = dedup.minhash_signatures(read(spark, sf_dir, "documents")).localCheckpoint()
     return dedup.lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5)
 
 
