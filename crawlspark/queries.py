@@ -434,6 +434,49 @@ def q48_three_table_topk(spark, sf_dir):
     )
 
 
+def q52_four_table_join(spark, sf_dir):
+    """TPC-H Q10 shape — 4-table join: returned-lineitem revenue by nation.
+    customer ⋈ orders ⋈ lineitem ⋈ nation; nation is a true dimension
+    (explicit broadcast), the two fact joins shuffle on their keys and
+    pre-aggregate map-side."""
+    c = read(spark, sf_dir, "customer")
+    o = read(spark, sf_dir, "orders")
+    li = read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = read(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def q53_percentile_stats(spark, sf_dir):
+    """Exact linear-interpolation percentiles of doc length per source — the
+    quality-cutoff calibration step of a corpus pipeline (thresholds are set
+    at percentiles, not absolute values).  Spark's percentile() and DuckDB's
+    quantile_cont() share the interpolation, so values hash-match."""
+    d = read(spark, sf_dir, "documents")
+    pct = F.percentile(F.col("n_chars"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        d.groupBy("source")
+        .agg(pct.alias("p"), F.count("*").alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.element_at("p", 1), 4).alias("p50"),
+            F.round(F.element_at("p", 2), 4).alias("p90"),
+            F.round(F.element_at("p", 3), 4).alias("p99"),
+        )
+    )
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_scan_filter": q02_scan_filter,
@@ -466,6 +509,8 @@ QUERIES = {
     "q29_scalar_subquery": q29_scalar_subquery,
     "q47_sessionize_lag": q47_sessionize_lag,
     "q48_three_table_topk": q48_three_table_topk,
+    "q52_four_table_join": q52_four_table_join,
+    "q53_percentile_stats": q53_percentile_stats,
 }
 
 # DuckDB mirror of urlkit.canonicalize — token-for-token the same pipeline
@@ -672,6 +717,21 @@ ORACLE = {
         "AND l_shipdate > TIMESTAMP '1998-01-01' "
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority) "
         "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "q52_four_table_join": (
+        "SELECT n_name, count(*) AS n_items, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' GROUP BY n_name"
+    ),
+    "q53_percentile_stats": (
+        "SELECT source, count(*) AS n_docs, "
+        "round(quantile_cont(n_chars, 0.5), 4) AS p50, "
+        "round(quantile_cont(n_chars, 0.9), 4) AS p90, "
+        "round(quantile_cont(n_chars, 0.99), 4) AS p99 "
+        "FROM documents GROUP BY source"
     ),
     "q47_sessionize_lag": (
         "WITH g AS (SELECT user_id, event_id, ts, "
