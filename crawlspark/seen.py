@@ -205,6 +205,12 @@ def dedup_exact(df: DataFrame, seen_keys: DataFrame) -> DataFrame:
 # (fingerprint, bucket probe, membership, slot placement, deletion) are
 # vectorized numpy over the whole Arrow batch — per-row Python survives ONLY
 # in the rare kick-chain fallback (a key whose two buckets are both full).
+#
+# Capacity contract: size n_buckets for load factor <= ~0.95 (cuckoo's
+# practical fill limit).  A key whose kick chain exhausts (table full) is
+# NOT stored — for a seen-set that means the URL could be admitted twice
+# later, so the engine freezes the sharding geometry in the wave-0 manifest
+# and the fixtures size shards at ~100x the crawl's key count.
 
 _CK_SLOTS = 4
 _CK_MAX_KICKS = 200
