@@ -51,3 +51,33 @@ def collect_spans(span_rows: DataFrame) -> DataFrame:
             ).alias("spans"),
         )
     )
+
+
+def flatten_for_training(documents: DataFrame) -> DataFrame:
+    """Interleaved documents -> one flat training-text string per doc, with
+    every non-text span replaced by a ``<|kind|>`` placeholder token (the
+    standard interleaved-multimodal serialization for LLM pretraining, cf.
+    Flamingo / OBELICS-style corpora).
+
+    Spans are already offset-ordered by `collect_spans`; the per-span lambda
+    is a cheap when/concat (no hash/regexp), so the HOF form is fine here
+    (CLAUDE.md rule: only REAL per-element work must move to exploded rows).
+    Map-only over assembled docs — no shuffle at any scale.
+    """
+    spans = F.col("spans")
+    return documents.select(
+        "doc_id",
+        F.size(spans).cast("long").alias("n_spans"),
+        F.size(F.filter(spans, lambda s: s["kind"] != "text")).cast("long").alias(
+            "n_media"
+        ),
+        F.array_join(
+            F.transform(
+                spans,
+                lambda s: F.when(s["kind"] == "text", s["text"]).otherwise(
+                    F.concat(F.lit("<|"), s["kind"], F.lit("|>"))
+                ),
+            ),
+            " ",
+        ).alias("flat_text"),
+    ).withColumn("flat_len", F.length("flat_text").cast("long"))

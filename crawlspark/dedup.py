@@ -431,3 +431,28 @@ def embedding_neardup(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def cluster_representatives(labels: DataFrame, quality: DataFrame) -> DataFrame:
+    """Pick one representative document per near-dup cluster: the member with
+    the highest quality score (ties -> lowest doc_id) — the keep-best variant
+    of near-dup removal (vs q42's keep-lowest-id greedy drop).
+
+    ``labels`` is (doc_id, label) from ``connected_components``; ``quality``
+    is (doc_id, quality).  One equi join + ONE aggregation on the label key:
+    the argmax is a max over (quality, -doc_id) structs (map-side combined),
+    so no window pass and no second shuffle.  Scales as a plain hash agg.
+    """
+    m = labels.join(quality, "doc_id")
+    agg = m.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.max(
+            F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid"))
+        ).alias("best"),
+    )
+    return agg.select(
+        "label",
+        "n_members",
+        (-F.col("best.nid")).cast("long").alias("keeper_id"),
+        F.col("best.q").alias("best_quality"),
+    )

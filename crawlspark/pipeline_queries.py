@@ -223,6 +223,67 @@ def q51_repetition_stats(spark, sf_dir):
     )
 
 
+def interleaved_spans(spark, sf_dir, chunk: int = 40):
+    """Deterministic interleaved span rows derived from the documents table
+    (the input_hint shape at test scale): each doc's text is cut into
+    `chunk`-char text spans, and an image span (media_ref from doc_id) is
+    interleaved after every second text chunk.  Pure map-side: explode of a
+    bounded per-doc sequence, no shuffle."""
+    d = read(spark, sf_dir, "documents")
+    nc = F.greatest(F.ceil(F.length("text") / F.lit(float(chunk))).cast("int"), F.lit(1))
+    chunks = d.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), nc - 1)).alias("i")
+    )
+    text_rows = chunks.select(
+        "doc_id",
+        F.lit("text").alias("kind"),
+        F.col("text").substr(F.col("i") * chunk + 1, F.lit(chunk)).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        (F.col("i") * 3).cast("int").alias("offset"),
+    )
+    media_rows = chunks.filter(F.col("i") % 2 == 1).select(
+        "doc_id",
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(
+            F.lit("img://"), F.col("doc_id"), F.lit("/"), F.floor(F.col("i") / 2)
+        ).alias("media_ref"),
+        (F.col("i") * 3 + 1).cast("int").alias("offset"),
+    )
+    return text_rows.unionByName(media_rows)
+
+
+def q54_interleaved_flatten(spark, sf_dir):
+    """Interleaved text+media docs -> flat LLM-pretraining text with <|kind|>
+    placeholders: span rows are assembled into the mandated
+    array<struct<kind,text,media_ref,offset>> shape (offset-ordered), then
+    serialized map-only.  Exercises the full C8/F4 span path end-to-end
+    against a SQL oracle."""
+    from crawlspark import assemble
+
+    docs = assemble.collect_spans(interleaved_spans(spark, sf_dir))
+    return assemble.flatten_for_training(docs)
+
+
+def q55_sequence_packing(spark, sf_dir):
+    """Token-budget packing of each source's docs into fixed 256-token
+    training sequences (concat-then-split; docs may straddle)."""
+    return textproc.pack_sequences(read(spark, sf_dir, "documents"), budget=256)
+
+
+def q56_cluster_representatives(spark, sf_dir):
+    """Keep-best near-dup removal: connected components over the Jaccard>=0.5
+    graph, then one representative per cluster by max quality (ties -> min
+    doc_id).  Composes three verified operators (jaccard_pairs,
+    connected_components, quality_score) into the canonical corpus-dedup
+    decision step."""
+    docs = read(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    labels = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    quality = textproc.quality_score(docs).select("doc_id", "quality")
+    return dedup.cluster_representatives(labels, quality)
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -249,6 +310,9 @@ QUERIES = {
     "q49_stratified_sample": q49_stratified_sample,
     "q50_pii_scrub": q50_pii_scrub,
     "q51_repetition_stats": q51_repetition_stats,
+    "q54_interleaved_flatten": q54_interleaved_flatten,
+    "q55_sequence_packing": q55_sequence_packing,
+    "q56_cluster_representatives": q56_cluster_representatives,
 }
 
 _SHINGLE_CTE = """
@@ -428,6 +492,61 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct, "
         "round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / greatest(len(grams), 1), 4) AS dup_2gram_frac "
         "FROM h"
+    ),
+    "q54_interleaved_flatten": (
+        "WITH c AS (SELECT doc_id, text, "
+        "greatest(CAST(ceil(length(text)/40.0) AS BIGINT), 1) AS nc FROM documents), "
+        "p AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM c), "
+        "u AS (SELECT doc_id, 3*i AS ord, "
+        "substr(text, CAST(i*40+1 AS BIGINT), 40) AS piece, 0 AS is_media FROM p "
+        "UNION ALL SELECT doc_id, 3*i+1 AS ord, '<|image|>' AS piece, 1 AS is_media "
+        "FROM p WHERE i % 2 = 1) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(sum(is_media) AS BIGINT) AS n_media, "
+        "string_agg(piece, ' ' ORDER BY ord) AS flat_text, "
+        "CAST(length(string_agg(piece, ' ' ORDER BY ord)) AS BIGINT) AS flat_len "
+        "FROM u GROUP BY doc_id"
+    ),
+    "q55_sequence_packing": (
+        "WITH t AS (SELECT source, doc_id, "
+        "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "s AS (SELECT source, doc_id, n_tokens, "
+        "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens "
+        "AS BIGINT) AS st FROM t) "
+        "SELECT source, doc_id, n_tokens, "
+        "CAST(floor(st / 256.0) AS BIGINT) AS seq_id, "
+        "CAST(st % 256 AS BIGINT) AS seq_pos FROM s"
+    ),
+    "q56_cluster_representatives": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ")
+    + (
+        ", pairs AS ("
+        "SELECT doc_a, doc_b FROM shr "
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.5"
+        "), edges AS ("
+        "SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs"
+        "), reach(src, dst) AS ("
+        "SELECT src, dst FROM edges "
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src"
+        "), lab AS ("
+        "SELECT src AS doc_id, least(src, min(dst)) AS label FROM reach GROUP BY src"
+        "), qs AS ("
+        "SELECT doc_id, round(least(1.0, len(string_split_regex(lower(text), '\\s+')) / 400.0)"
+        " * (1.0 - round(len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> x IN ('the','a','of','and','to','in')))"
+        " / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE), 4)), 4)"
+        " AS quality FROM documents"
+        "), m AS ("
+        "SELECT lab.doc_id, lab.label, qs.quality FROM lab JOIN qs USING (doc_id)"
+        "), g AS ("
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_members FROM m GROUP BY label"
+        "), r AS ("
+        "SELECT label, doc_id AS keeper_id, quality AS best_quality, "
+        "row_number() OVER (PARTITION BY label ORDER BY quality DESC, doc_id) AS rk FROM m"
+        ") SELECT g.label, g.n_members, r.keeper_id, r.best_quality "
+        "FROM g JOIN r ON g.label = r.label AND r.rk = 1"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -137,3 +137,39 @@ def fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget sequence packing: concatenate each stream's documents in
+    a deterministic order and assign every doc its fixed-length training
+    sequence (``seq_id``) and start position (``seq_pos``) — the standard
+    concat-then-split packing for LLM pretraining batches (docs may straddle
+    sequence boundaries; the split is by token offset, not per-doc greedy).
+
+    One shuffle (window on the stream key); the running token offset is a
+    window cumsum, so the whole op is two codegen stages at any scale.  At
+    100 TB the stream key is the per-source shard — each stream's docs are
+    ordered independently, so no global sort and no single-partition stage.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        stream_col,
+        order_col,
+        F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        stream_col,
+        order_col,
+        "n_tokens",
+        F.floor(start / F.lit(budget)).cast("long").alias("seq_id"),
+        (start % budget).cast("long").alias("seq_pos"),
+    )

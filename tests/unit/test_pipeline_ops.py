@@ -167,3 +167,65 @@ def test_connected_components_chain_and_clusters(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
+def test_flatten_for_training_orders_and_placeholders(spark):
+    from crawlspark import assemble
+
+    rows = [
+        # spans arrive OUT of offset order; flatten must restore by offset
+        (1, "image", None, "img://1/0", 1),
+        (1, "text", "hello", None, 0),
+        (1, "text", "world", None, 2),
+        (2, "text", "solo", None, 0),
+    ]
+    span_rows = spark.createDataFrame(
+        rows, "doc_id long, kind string, text string, media_ref string, offset int"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in assemble.flatten_for_training(
+            assemble.collect_spans(span_rows)
+        ).collect()
+    }
+    assert out[1]["flat_text"] == "hello <|image|> world"
+    assert out[1]["n_spans"] == 3 and out[1]["n_media"] == 1
+    assert out[2]["flat_text"] == "solo" and out[2]["n_media"] == 0
+    assert out[1]["flat_len"] == len("hello <|image|> world")
+
+
+def test_pack_sequences_straddles_budget(spark):
+    rows = [
+        ("s", 1, "a b c d"),        # 4 tokens, start 0
+        ("s", 2, "e f g"),          # 3 tokens, start 4 -> straddles budget 6
+        ("s", 3, "h"),              # start 7
+        ("t", 9, "x y"),            # independent stream restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {
+        (r["source"], r["doc_id"]): (r["seq_id"], r["seq_pos"], r["n_tokens"])
+        for r in textproc.pack_sequences(df, budget=6).collect()
+    }
+    assert out[("s", 1)] == (0, 0, 4)
+    assert out[("s", 2)] == (0, 4, 3)  # starts in seq 0, straddles into seq 1
+    assert out[("s", 3)] == (1, 1, 1)
+    assert out[("t", 9)] == (0, 0, 2)
+
+
+def test_cluster_representatives_max_quality_min_id_tiebreak(spark):
+    labels = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (20, 2), (21, 2)], "doc_id long, label long"
+    )
+    quality = spark.createDataFrame(
+        [(10, 0.5), (11, 0.9), (12, 0.9), (20, 0.3), (21, 0.3)],
+        "doc_id long, quality double",
+    )
+    out = {
+        r["label"]: r
+        for r in dedup.cluster_representatives(labels, quality).collect()
+    }
+    # cluster 1: quality tie at 0.9 between 11 and 12 -> min doc_id wins
+    assert out[1]["keeper_id"] == 11 and out[1]["best_quality"] == 0.9
+    assert out[1]["n_members"] == 3
+    # cluster 2: all-tie -> lowest doc_id
+    assert out[2]["keeper_id"] == 20 and out[2]["n_members"] == 2
