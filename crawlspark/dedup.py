@@ -87,20 +87,25 @@ def jaccard_pairs(
     conservative.  jaccard = |shared| / (|A| + |B| - |shared|)."""
     # 8-byte shingle keys everywhere (see shingle_hashes); a collision would
     # merge two shingles — P ~ n²/2^65, negligible and deterministic.
-    # sh feeds two aggregations (per-doc sizes, per-shingle doclists); it is
-    # deliberately NOT cached — at 100 TB caching an exploded shingle table
-    # is infeasible, and recomputing the codegen'd shingle pipeline twice is
-    # cheaper than spilling it (measured; it is also leak-free, the previous
-    # persist() pinned a cache for the session lifetime)
+    # SINGLE-PASS shape: the shingle pipeline's window already hash-partitions
+    # on doc_id, so the per-doc set size is a window count on the SAME
+    # exchange (no extra shuffle, no second execution of the shingle scan)
+    # and rides into the doclists as struct fields — the two sizes re-joins
+    # of the previous two-consumer form disappear entirely.  At 100 TB this
+    # is one scan + three exchanges (doc_id window, sh doclists, pair agg).
     sh = shingle_hashes(df, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shsz = sh.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
     # candidate pairs WITHOUT a self-join: group each shingle's (<= max_df,
     # sorted) doc list once, expand the C(df,2) ordered pairs locally with
     # higher-order functions — one shuffle on sh instead of a two-sided
-    # join shuffle, and the stop-shingle cut falls out of the same pass
+    # join shuffle, and the stop-shingle cut falls out of the same pass.
+    # (The nested transform/slice is bounded by max_df elements — the
+    # interpreted-HOF rule allows cheap bounded lambdas.)
     doclists = (
-        sh.groupBy("sh")
-        .agg(F.collect_set("doc_id").alias("ds"))
+        shsz.groupBy("sh")
+        .agg(F.collect_set(F.struct("doc_id", "n_sh")).alias("ds"))
         .filter(F.size("ds") <= max_df)
         .select(F.array_sort("ds").alias("ds"))
     )
@@ -109,20 +114,22 @@ def jaccard_pairs(
             F.col("ds"),
             lambda x, i: F.transform(
                 F.slice(F.col("ds"), i + 2, max_df),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("n_a"),
+                    y["n_sh"].alias("n_b"),
+                ),
             ),
         )
     )
     shared = (
         doclists.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+        .groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
         .agg(F.count("*").alias("n_shared"))
     )
     out = (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
                 F.col("n_shared").cast("double")
