@@ -284,6 +284,13 @@ def q56_cluster_representatives(spark, sf_dir):
     return dedup.cluster_representatives(labels, quality)
 
 
+def q57_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN: deterministic 16-cell codebook, 4-probe
+    search, exact rerank inside probed cells — the scale path the brief names
+    alongside LSH, and (unlike LSH) fully hash-checked against SQL."""
+    return simsearch.ivf_topk(read(spark, sf_dir, "embeddings"), k=5)
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -313,6 +320,7 @@ QUERIES = {
     "q54_interleaved_flatten": q54_interleaved_flatten,
     "q55_sequence_packing": q55_sequence_packing,
     "q56_cluster_representatives": q56_cluster_representatives,
+    "q57_ann_ivf": q57_ann_ivf,
 }
 
 _SHINGLE_CTE = """
@@ -547,6 +555,29 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "row_number() OVER (PARTITION BY label ORDER BY quality DESC, doc_id) AS rk FROM m"
         ") SELECT g.label, g.n_members, r.keeper_id, r.best_quality "
         "FROM g JOIN r ON g.label = r.label AND r.rk = 1"
+    ),
+    "q57_ann_ivf": (
+        "WITH cent AS (SELECT vec_id AS cid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv "
+        "FROM embeddings WHERE vec_id >= 8 AND vec_id < 24), "
+        "v AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+        "asg AS (SELECT vid, cid FROM ("
+        "SELECT vid, cid, row_number() OVER (PARTITION BY vid "
+        "ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rc FROM v, cent) "
+        "WHERE rc = 1), "
+        "q AS (SELECT vid AS q_vec_id, v AS qv FROM v WHERE vid < 8), "
+        "probe AS (SELECT q_vec_id, cid FROM ("
+        "SELECT q_vec_id, cid, row_number() OVER (PARTITION BY q_vec_id "
+        "ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS rc FROM q, cent) "
+        "WHERE rc <= 4), "
+        "ranked AS (SELECT c.q_vec_id, c.vid, "
+        "row_number() OVER (PARTITION BY c.q_vec_id "
+        "ORDER BY list_cosine_similarity(q.qv, v.v) DESC, c.vid) AS rk FROM "
+        "(SELECT p.q_vec_id, a.vid FROM probe p JOIN asg a ON a.cid = p.cid "
+        "WHERE a.vid <> p.q_vec_id) c "
+        "JOIN q ON q.q_vec_id = c.q_vec_id JOIN v ON v.vid = c.vid) "
+        "SELECT q_vec_id, vid AS neighbor_id, rk FROM ranked WHERE rk <= 5"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

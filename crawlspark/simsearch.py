@@ -264,3 +264,78 @@ def topk_lsh(
         .filter(F.col("rk") <= k)
         .select("q_vec_id", F.col("vid").alias("neighbor_id"), "rk", F.round("cos", 4).alias("cos"))
     )
+
+
+# ------------------------------------------------------------- IVF coarse index
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k (inverted-file coarse quantizer, cf.
+    Jégou et al. TPAMI'11): every corpus vector is assigned to its nearest
+    of ``n_cells`` centroids; a query probes its ``nprobe`` nearest cells and
+    exact-reranks only the vectors assigned there.
+
+    Centroids are DETERMINISTIC — the corpus vectors with ids
+    [8, 8+n_cells) (a seeded coarse codebook stand-in for k-means, which
+    would train the same shape) — so the whole index is reproducible and
+    SQL-mirrorable (q57's DuckDB oracle hash-checks assignment, probe, and
+    rerank end-to-end, unlike the rows-only LSH path).
+
+    Scale shape: assignment is a broadcast of n_cells centroids + ONE
+    struct-argmax aggregation (map-side combined, no window over the corpus);
+    the candidate step is an equi join on cell id — corpus cost per query
+    drops from O(N) to O(N * nprobe / n_cells).  The per-vector dot products
+    here are the same sequential-sum HOF expressions as topk_bruteforce (the
+    oracle-parity form); the q44 mapInPandas matmul idiom is the drop-in
+    Arrow fast path for the assignment pass at production scale."""
+    d = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    cent = d.filter((F.col("vid") >= 8) & (F.col("vid") < 8 + n_cells)).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    asg = (
+        d.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .groupBy("vid")
+        .agg(F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("nc"))).alias("b"))
+        .select("vid", (-F.col("b.nc")).alias("cid"))
+    )
+    q = d.filter(
+        F.col("vid").isin(query_ids) if query_ids else F.col("vid") < 8
+    ).select(
+        F.col("vid").alias("q_vec_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    qcos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    wq = Window.partitionBy("q_vec_id").orderBy(F.desc("qcos"), F.asc("cid"))
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("qcos", qcos)
+        .withColumn("rc", F.row_number().over(wq))
+        .filter(F.col("rc") <= nprobe)
+        .select("q_vec_id", "cid")
+    )
+    cand = (
+        probe.join(asg, "cid")
+        .filter(F.col("vid") != F.col("q_vec_id"))
+        .select("q_vec_id", "vid")
+    )
+    rcos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
+    wr = Window.partitionBy("q_vec_id").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        cand.join(d, "vid")
+        .join(F.broadcast(q), "q_vec_id")
+        .withColumn("cos", rcos)
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select("q_vec_id", F.col("vid").alias("neighbor_id"), "rk")
+    )

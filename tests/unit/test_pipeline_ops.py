@@ -229,3 +229,18 @@ def test_cluster_representatives_max_quality_min_id_tiebreak(spark):
     assert out[1]["n_members"] == 3
     # cluster 2: all-tie -> lowest doc_id
     assert out[2]["keeper_id"] == 20 and out[2]["n_members"] == 2
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, emb):
+    truth = {
+        (r["q_vec_id"], r["neighbor_id"])
+        for r in simsearch.topk_bruteforce(emb, k=5).collect()
+    }
+    got = {
+        (r["q_vec_id"], r["neighbor_id"])
+        for r in simsearch.ivf_topk(emb, k=5).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    # 4/16 probed cells over isotropic vectors: the coarse index must keep a
+    # usable fraction of the true neighbors while scanning ~1/4 of the corpus
+    assert recall >= 0.4, f"IVF recall {recall:.2f} < 0.4"
