@@ -124,3 +124,18 @@ def test_global_seq_pin_modes_agree(spark):
     y = sched.assign_global_seq(df, order_cols=["a", "b"], seq_col="seq", pin="local").orderBy("seq").toPandas()
     assert list(x["seq"]) == list(range(1, 5001))
     assert (x[["a", "b", "seq"]].values == y[["a", "b", "seq"]].values).all()
+
+
+def test_jaccard_pairs_single_pass_plan(spark):
+    """jaccard_pairs must scan the input once and use no joins: set sizes
+    ride the doc_id window into the doclists (regression guard for the old
+    two-consumer shape, which scanned twice and re-joined sizes twice)."""
+    from crawlspark import pipeline_queries as pq
+
+    import re
+
+    p = plan_of(pq.QUERIES["q31_jaccard_shingles"](spark, SF))
+    # formatted output prints each node in the tree AND a detail section;
+    # count the detail headers to count actual scan nodes
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "Join" not in p
