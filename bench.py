@@ -44,6 +44,11 @@ HEADLINE = [
     "q41_ann_lsh",
     "q45_neardup_components",
     "q48_three_table_topk",
+    # round-2 additions: interleaved-span flatten, keep-best cluster dedup,
+    # IVF ANN — the new first-class pipeline paths
+    "q54_interleaved_flatten",
+    "q56_cluster_representatives",
+    "q57_ann_ivf",
 ]
 
 

@@ -244,3 +244,32 @@ def test_ann_ivf_recall_vs_bruteforce(spark, emb):
     # 4/16 probed cells over isotropic vectors: the coarse index must keep a
     # usable fraction of the true neighbors while scanning ~1/4 of the corpus
     assert recall >= 0.4, f"IVF recall {recall:.2f} < 0.4"
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Seeded pseudo-random corpus vs a pure-Python packer: seq_id/seq_pos
+    must equal the concat-then-split reference for every doc, and invariants
+    hold (seq_pos < budget; start offset == seq_id*budget + seq_pos is the
+    exact running token sum)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"s{rng.randrange(5)}", i, " ".join("w" * 1 for _ in range(rng.randrange(1, 40))))
+        for i in range(200)
+    ]
+    budget = 64
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {
+        (r["source"], r["doc_id"]): (r["seq_id"], r["seq_pos"], r["n_tokens"])
+        for r in textproc.pack_sequences(df, budget=budget).collect()
+    }
+    # pure-Python reference
+    per_stream: dict[str, int] = {}
+    for src, did, text in sorted(rows, key=lambda r: (r[0], r[1])):
+        n = len(text.split())
+        start = per_stream.get(src, 0)
+        exp = (start // budget, start % budget, n)
+        assert got[(src, did)] == exp, (src, did, got[(src, did)], exp)
+        per_stream[src] = start + n
+    assert all(pos < budget for (_, pos, _) in got.values())
