@@ -102,3 +102,51 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+FRAME_BYTES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 256, every: int = 4) -> DataFrame:
+    """Frame sampling for ``video`` payloads: the payload is treated as a
+    sequence of ``frame_size``-byte frames (a stand-in for demuxed video
+    frames; production swaps the slicer for an ffmpeg keyframe call per
+    buffer — opaque C-library work, which is why this is a per-buffer loop
+    inside an Arrow batch and not column math); every ``every``-th frame is
+    emitted as its own row (fan-OUT through mapInPandas — one input row
+    yields many output rows inside the same Arrow batch).
+
+    Returns (doc_id, frame_idx, frame:binary).  Frame hashing/feature math
+    belongs JVM-side on the result (see q58: F.md5 over the binary column),
+    keeping Python to the minimum the decode genuinely needs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(buf)
+                n_frames = max(1, -(-len(b) // frame_size))
+                for fi in range(0, n_frames, every):
+                    ids.append(did)
+                    idxs.append(fi)
+                    frames.append(b[fi * frame_size : (fi + 1) * frame_size])
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    video = media.filter(F.col("meta.media_kind") == "video")
+    return video.select("doc_id", "payload").mapInPandas(fn, FRAME_BYTES_SCHEMA)

@@ -291,6 +291,22 @@ def q57_ann_ivf(spark, sf_dir):
     return simsearch.ivf_topk(read(spark, sf_dir, "embeddings"), k=5)
 
 
+def q58_frame_sample(spark, sf_dir):
+    """Video frame sampling: every 4th 256-byte frame of each video payload,
+    hashed JVM-side (F.md5 over the binary frame).  The payload is the doc's
+    utf-8 text (with_payload), so the frame hashes are SQL-mirrorable —
+    unlike q39's rows-only plumbing check, this hash-checks the mapInPandas
+    fan-out end-to-end."""
+    media = multimodal.with_payload(read(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, frame_size=256, every=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("int").alias("frame_len"),
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -321,6 +337,7 @@ QUERIES = {
     "q55_sequence_packing": q55_sequence_packing,
     "q56_cluster_representatives": q56_cluster_representatives,
     "q57_ann_ivf": q57_ann_ivf,
+    "q58_frame_sample": q58_frame_sample,
 }
 
 _SHINGLE_CTE = """
@@ -578,6 +595,16 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "WHERE a.vid <> p.q_vec_id) c "
         "JOIN q ON q.q_vec_id = c.q_vec_id JOIN v ON v.vid = c.vid) "
         "SELECT q_vec_id, vid AS neighbor_id, rk FROM ranked WHERE rk <= 5"
+    ),
+    "q58_frame_sample": (
+        "WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2), "
+        "f AS (SELECT doc_id, text, "
+        "unnest(range(0, greatest(CAST(ceil(length(text)/256.0) AS BIGINT), 1))) AS fi "
+        "FROM v) "
+        "SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx, "
+        "md5(substr(text, CAST(fi*256+1 AS BIGINT), 256)) AS frame_md5, "
+        "CAST(length(substr(text, CAST(fi*256+1 AS BIGINT), 256)) AS INTEGER) AS frame_len "
+        "FROM f WHERE fi % 4 = 0"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -273,3 +273,31 @@ def test_pack_sequences_matches_python_reference(spark):
         assert got[(src, did)] == exp, (src, did, got[(src, did)], exp)
         per_stream[src] = start + n
     assert all(pos < budget for (_, pos, _) in got.values())
+
+
+def test_sample_frames_fanout_and_partition_invariance(spark, docs):
+    media = multimodal.with_payload(docs)
+    frames = multimodal.sample_frames(media, frame_size=256, every=4)
+    rows = frames.collect()
+    # frame-count law: every video doc emits ceil(ceil(n_bytes/256)/4) frames
+    import math
+
+    vids = {
+        r["doc_id"]: len(bytes(r["payload"]))
+        for r in media.filter(F.col("meta.media_kind") == "video").collect()
+    }
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert len(bytes(r["frame"])) <= 256 and r["frame_idx"] % 4 == 0
+    assert set(per_doc) == set(vids)
+    for did, nb in vids.items():
+        assert per_doc[did] == math.ceil(max(1, math.ceil(nb / 256)) / 4)
+    # batch/partition layout must not change the emitted frames
+    again = set(
+        (r["doc_id"], r["frame_idx"], bytes(r["frame"]))
+        for r in multimodal.sample_frames(
+            media.repartition(2), frame_size=256, every=4
+        ).collect()
+    )
+    assert again == {(r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in rows}
