@@ -96,6 +96,23 @@ def seen_filter_stream(
     )
 
 
+def dedup_within_watermark(
+    frontier: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: Spark's native
+    ``dropDuplicatesWithinWatermark`` keyed on url_h.  Complementary to
+    ``seen_filter_stream``: the bloom shards keep an unbounded seen-set in
+    constant bits (never re-fetch), while this evicts each key once the
+    watermark passes its event time — the right operator when re-crawl after
+    a freshness horizon is DESIRED and per-key exactness is required inside
+    it.  State size is bounded by the number of distinct keys per watermark
+    window, partitioned by the state-store key (url_h) — no skew: the hash
+    is uniform."""
+    return frontier.withWatermark("fetched_at", watermark).dropDuplicatesWithinWatermark(
+        ["url_h"]
+    )
+
+
 def windowed_fetch_counts(
     fetched: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"
 ) -> DataFrame:

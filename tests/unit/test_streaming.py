@@ -114,3 +114,33 @@ def test_engine_stream_twin_of_batch_exact_mode(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Native bounded-state streaming dedup: duplicates arriving within the
+    watermark horizon are dropped; each url_h is emitted exactly once across
+    micro-batches of the same run."""
+    src = str(tmp_path / "dedup_in")
+    ckpt = str(tmp_path / "ckpt3")
+    out = str(tmp_path / "out3")
+    ts = dt.datetime(2024, 1, 1)
+    rows = (
+        [(f"https://h.com/{i}", i * 7919, "h.com", ts) for i in range(80)]
+        # same keys again, same event time (well inside the watermark)
+        + [(f"https://h.com/{i}", i * 7919, "h.com", ts) for i in range(40)]
+    )
+    _drop(spark, src, rows)
+    fr = streaming.read_frontier_stream(spark, src)
+    ded = streaming.dedup_within_watermark(fr, watermark="10 minutes")
+    q = (
+        ded.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert got.select("url_h").distinct().count() == 80
