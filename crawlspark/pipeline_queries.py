@@ -307,6 +307,30 @@ def q58_frame_sample(spark, sf_dir):
     )
 
 
+def q59_lang_pivot(spark, sf_dir):
+    """Corpus-mix report: per source, document counts pivoted by language
+    plus mean quality — the groupBy().pivot() relational surface (wide
+    reporting shape).  Pivot values are EXPLICIT (the 5 corpus langs): an
+    unlisted-values pivot would need a driver-side distinct pass; fixed
+    values keep it one aggregation at any scale."""
+    langs = ["de", "en", "es", "fr", "zh"]
+    d = read(spark, sf_dir, "documents")
+    out = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
+    for lang in langs:
+        out = out.withColumnRenamed(lang, f"n_{lang}")
+    out = out.select(
+        "source", *[F.coalesce(F.col(f"n_{l}"), F.lit(0)).alias(f"n_{l}") for l in langs]
+    )
+    avgq = d.groupBy("source").agg(
+        F.round(F.avg(F.length("text")), 4).alias("avg_len")
+    )
+    return out.join(avgq, "source")
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -338,6 +362,7 @@ QUERIES = {
     "q56_cluster_representatives": q56_cluster_representatives,
     "q57_ann_ivf": q57_ann_ivf,
     "q58_frame_sample": q58_frame_sample,
+    "q59_lang_pivot": q59_lang_pivot,
 }
 
 _SHINGLE_CTE = """
@@ -605,6 +630,17 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "md5(substr(text, CAST(fi*256+1 AS BIGINT), 256)) AS frame_md5, "
         "CAST(length(substr(text, CAST(fi*256+1 AS BIGINT), 256)) AS INTEGER) AS frame_len "
         "FROM f WHERE fi % 4 = 0"
+    ),
+    "q59_lang_pivot": (
+        "WITH c AS (SELECT source, "
+        "CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de, "
+        "CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en, "
+        "CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es, "
+        "CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr, "
+        "CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh, "
+        "round(avg(length(text)), 4) AS avg_len "
+        "FROM documents GROUP BY source) "
+        "SELECT source, n_de, n_en, n_es, n_fr, n_zh, avg_len FROM c"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
