@@ -463,3 +463,73 @@ def cluster_representatives(labels: DataFrame, quality: DataFrame) -> DataFrame:
         (-F.col("best.nid")).cast("long").alias("keeper_id"),
         F.col("best.q").alias("best_quality"),
     )
+
+
+# ----------------------------------------------- incremental near-dup refresh
+
+
+def minhash_signatures_delta(
+    old_sigs: DataFrame, changed_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental signature maintenance: recompute MinHash signatures ONLY
+    for the changed/new docs and splice them over the stored signature table
+    (changed doc_ids replace their old rows via left_anti).  At 100 TB the
+    signature table is the materialized state between crawls; a refresh
+    touches O(|delta|) docs, never the corpus."""
+    fresh = minhash_signatures(changed_docs, text_col)
+    kept = old_sigs.join(changed_docs.select("doc_id"), "doc_id", "left_anti")
+    return kept.unionByName(fresh)
+
+
+def lsh_pairs_touching(
+    sigs: DataFrame, delta_ids: DataFrame, n_perm: int = N_PERM, bands: int = 16
+) -> DataFrame:
+    """LSH candidate pairs RESTRICTED to pairs with at least one side in
+    ``delta_ids`` (doc_id) — the incremental twin of lsh_candidate_pairs.
+    The banded bucket join puts the (small) delta side left, so candidate
+    cost is O(|delta| x bucket) instead of the corpus self-join; output is
+    normalized (doc_a < doc_b) and equals the full recompute filtered to
+    delta-touching pairs (equality-tested)."""
+    r = n_perm // bands
+    band_hash = F.array(
+        *[
+            F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    exploded = sigs.select("doc_id", F.posexplode(band_hash).alias("band", "bh"))
+    d = exploded.join(delta_ids.select("doc_id"), "doc_id", "left_semi")
+    a = d.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b_ = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    cand = (
+        a.join(b_, ["band", "bh"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig_a"),
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array(*[F.col(f"m{i}") for i in range(n_perm)]).alias("sig_b"),
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda z: z,
+            )
+        ).cast("double")
+        / F.lit(float(n_perm)),
+        6,
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )

@@ -301,3 +301,34 @@ def test_sample_frames_fanout_and_partition_invariance(spark, docs):
         ).collect()
     )
     assert again == {(r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in rows}
+
+
+def test_incremental_minhash_refresh_equals_full_recompute(spark, docs):
+    """Incremental near-dup maintenance: splicing delta signatures over the
+    stored table reproduces the full recompute exactly, and the
+    delta-restricted banded join returns precisely the full pair set
+    filtered to delta-touching pairs."""
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_v1 = docs.filter(F.col("doc_id") % 10 != 0).unionByName(
+        delta.withColumn("text", F.concat(F.col("text"), F.lit(" stale version")))
+    )
+    old_sigs = dedup.minhash_signatures(corpus_v1)
+    inc_sigs = dedup.minhash_signatures_delta(old_sigs, delta)
+    full_sigs = dedup.minhash_signatures(docs)
+    assert sorted(map(tuple, inc_sigs.collect())) == sorted(
+        map(tuple, full_sigs.collect())
+    )
+
+    pinned = full_sigs.localCheckpoint()
+    delta_ids = delta.select("doc_id")
+    inc_pairs = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup.lsh_pairs_touching(pinned, delta_ids).collect()
+    }
+    touched = {r["doc_id"] for r in delta_ids.collect()}
+    full_pairs = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup.lsh_candidate_pairs(pinned).collect()
+        if r["doc_a"] in touched or r["doc_b"] in touched
+    }
+    assert inc_pairs == full_pairs and len(inc_pairs) > 0
