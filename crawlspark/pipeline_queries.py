@@ -331,6 +331,27 @@ def q59_lang_pivot(spark, sf_dir):
     return out.join(avgq, "source")
 
 
+def q60_sql_surface(spark, sf_dir):
+    """The SQL entry point: the same engine tables addressed through
+    spark.sql() text instead of the DataFrame DSL — users of the reference
+    who prefer SQL run queries like this verbatim.  Per-source quality/length
+    profile with a HAVING cut; Catalyst plans it identically to the DSL."""
+    read(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT source,
+               CAST(count(*) AS BIGINT)            AS n_docs,
+               CAST(sum(n_chars) AS BIGINT)        AS total_chars,
+               round(avg(n_chars), 4)              AS avg_chars,
+               CAST(max(n_chars) AS BIGINT)        AS max_chars
+        FROM documents_v
+        WHERE lang IN ('en', 'es')
+        GROUP BY source
+        HAVING count(*) >= 5
+        """
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -363,6 +384,7 @@ QUERIES = {
     "q57_ann_ivf": q57_ann_ivf,
     "q58_frame_sample": q58_frame_sample,
     "q59_lang_pivot": q59_lang_pivot,
+    "q60_sql_surface": q60_sql_surface,
 }
 
 _SHINGLE_CTE = """
@@ -641,6 +663,14 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "round(avg(length(text)), 4) AS avg_len "
         "FROM documents GROUP BY source) "
         "SELECT source, n_de, n_en, n_es, n_fr, n_zh, avg_len FROM c"
+    ),
+    "q60_sql_surface": (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "round(avg(n_chars), 4) AS avg_chars, "
+        "CAST(max(n_chars) AS BIGINT) AS max_chars "
+        "FROM documents WHERE lang IN ('en', 'es') "
+        "GROUP BY source HAVING count(*) >= 5"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
