@@ -339,3 +339,48 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("q_vec_id", F.col("vid").alias("neighbor_id"), "rk")
     )
+
+
+def ivf_assign_arrow(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow fast path for the IVF assignment pass: centroids are collected
+    once (n_cells rows, small by construction) and broadcast into a
+    mapInPandas stage that computes all cell cosines with ONE numpy matmul
+    per batch and takes the argmax (ties -> lowest cid, matching the
+    struct-argmax ordering).  Returns (vid, cid) — the drop-in replacement
+    for ivf_topk's HOF assignment at production scale (same pattern as
+    topk_bruteforce_arrow vs topk_bruteforce; equality-tested)."""
+    c_rows = (
+        emb.filter((F.col(id_col) >= 8) & (F.col(id_col) < 8 + n_cells))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
+    order = np.argsort(c_ids)
+    c_ids = c_ids[order]
+    C = np.array([list(c_rows[i][1]) for i in order], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [T.StructField("vid", T.LongType()), T.StructField("cid", T.LongType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Cn.T  # (batch, n_cells)
+            best = S.argmax(axis=1)  # first (lowest-cid) argmax on ties
+            yield pd.DataFrame(
+                {"vid": pdf[id_col].to_numpy(), "cid": c_ids[best]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(fn, out_schema)

@@ -332,3 +332,33 @@ def test_incremental_minhash_refresh_equals_full_recompute(spark, docs):
         if r["doc_a"] in touched or r["doc_b"] in touched
     }
     assert inc_pairs == full_pairs and len(inc_pairs) > 0
+
+
+def test_ivf_arrow_assignment_equals_hof_path(spark, emb):
+    """The Arrow matmul assignment must agree with ivf_topk's sequential-sum
+    struct-argmax assignment on every corpus vector (the q44-vs-q34 pattern:
+    BLAS path == oracle-parity path)."""
+    from pyspark.sql import Window
+
+    d = emb.select(
+        F.col("vec_id").alias("vid"),
+        simsearch._as_double(F.col("embedding")).alias("v"),
+    ).withColumn("norm", simsearch._norm(F.col("v")))
+    cent = d.filter((F.col("vid") >= 8) & (F.col("vid") < 24)).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    ccos = simsearch._dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    hof = {
+        (r["vid"], r["cid"])
+        for r in (
+            d.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", ccos)
+            .groupBy("vid")
+            .agg(F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("nc"))).alias("b"))
+            .select("vid", (-F.col("b.nc")).alias("cid"))
+        ).collect()
+    }
+    arrow = {
+        (r["vid"], r["cid"]) for r in simsearch.ivf_assign_arrow(emb).collect()
+    }
+    assert arrow == hof
