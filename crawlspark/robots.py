@@ -28,3 +28,61 @@ def annotate(frontier: DataFrame, rules: DataFrame) -> DataFrame:
 
 def allowed(frontier: DataFrame, rules: DataFrame) -> DataFrame:
     return annotate(frontier, rules).filter(~F.col("blocked")).drop("blocked")
+
+
+def parse_rules(raw: DataFrame) -> DataFrame:
+    """Parse raw robots.txt bodies -> the structured rules table
+    (host, disallow_prefix array<string>, crawl_delay_ms int).
+
+    Input: (host, body) — one fetched robots.txt per host.  Grammar handled
+    (RFC 9309 subset the reference crawler honors): `User-agent:` groups,
+    `Disallow:` path prefixes, `Crawl-delay:` seconds; only groups that
+    apply to `*` are kept; comments (#) and blank lines ignored; directive
+    names case-insensitive.
+
+    Pure native pipeline: posexplode the lines, fill the current user-agent
+    FORWARD with last(ignorenulls) over the line-number window (the
+    sequential grouping a hand parser would do with a loop variable), then
+    one aggregation per host.  The result is the tiny broadcast dimension
+    `annotate` consumes — parsing cost is one pass over a per-host-bounded
+    body at any scale."""
+    from pyspark.sql import Window
+
+    lines = raw.select(
+        "host", F.posexplode(F.split(F.col("body"), r"\r?\n")).alias("ln", "line")
+    ).withColumn(
+        "line", F.trim(F.regexp_replace(F.col("line"), r"#.*", ""))
+    ).filter(F.col("line") != "")
+    key = F.lower(F.trim(F.substring_index(F.col("line"), ":", 1)))
+    val = F.trim(
+        F.expr("substring(line, instr(line, ':') + 1, length(line))")
+    )
+    parsed = lines.select(
+        "host", "ln", key.alias("key"), val.alias("value")
+    ).filter(F.col("key").isin("user-agent", "disallow", "crawl-delay"))
+    w = Window.partitionBy("host").orderBy("ln").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cur = parsed.withColumn(
+        "agent",
+        F.last(
+            F.when(F.col("key") == "user-agent", F.lower(F.col("value"))),
+            ignorenulls=True,
+        ).over(w),
+    ).filter(F.col("agent") == "*")
+    return (
+        cur.groupBy("host")
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        (F.col("key") == "disallow") & (F.col("value") != ""),
+                        F.col("value"),
+                    )
+                )
+            ).alias("disallow_prefix"),
+            (F.min(F.when(F.col("key") == "crawl-delay", F.col("value"))).cast("double") * 1000)
+            .cast("int")
+            .alias("crawl_delay_ms"),
+        )
+    )

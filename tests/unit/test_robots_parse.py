@@ -1,0 +1,54 @@
+"""robots.txt parser tests: RFC 9309 subset — user-agent grouping with
+forward fill, case-insensitive directives, comments, crawl-delay, and the
+parsed table feeding the broadcast annotate step."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawlspark import robots
+
+BODY_STAR = """# global rules
+User-Agent: *
+Disallow: /private
+disallow: /tmp/
+Crawl-Delay: 2
+
+User-agent: googlebot
+Disallow: /only-for-google
+"""
+
+BODY_OTHER = """User-agent: bingbot
+Disallow: /everything
+"""
+
+
+def _raw(spark):
+    return spark.createDataFrame(
+        [("h1.com", BODY_STAR), ("h2.com", BODY_OTHER)], "host string, body string"
+    )
+
+
+def test_parse_rules_star_group_only(spark):
+    rules = {r["host"]: r for r in robots.parse_rules(_raw(spark)).collect()}
+    # h1: only the * group's directives, sorted; delay 2 s -> 2000 ms
+    assert list(rules["h1.com"]["disallow_prefix"]) == ["/private", "/tmp/"]
+    assert rules["h1.com"]["crawl_delay_ms"] == 2000
+    # h2 has no * group -> no rules row (annotate treats absent as allowed)
+    assert "h2.com" not in rules
+
+
+def test_parsed_rules_drive_annotate(spark):
+    rules = robots.parse_rules(_raw(spark))
+    frontier = spark.createDataFrame(
+        [
+            ("h1.com", "https://h1.com/private/x"),
+            ("h1.com", "https://h1.com/public"),
+            ("h2.com", "https://h2.com/everything"),
+        ],
+        "host string, url string",
+    )
+    got = {r["url"]: r["blocked"] for r in robots.annotate(frontier, rules).collect()}
+    assert got["https://h1.com/private/x"] is True
+    assert got["https://h1.com/public"] is False
+    assert got["https://h2.com/everything"] is False  # no * rules for h2
