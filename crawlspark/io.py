@@ -100,3 +100,34 @@ def write_documents(io: TableIO, docs: DataFrame, name: str = "documents") -> No
     """A5 document sink in the mandated interleaved shape (doc_id, spans)."""
     assert docs.schema["spans"].dataType.typeName() == "array"
     io.append(docs.select("doc_id", "spans"), name)
+
+
+def parse_sitemap(raw: DataFrame) -> DataFrame:
+    """Parse fetched sitemap.xml bodies -> frontier seed rows
+    (host, url, lastmod timestamp|null).
+
+    Input: (host, body).  Handles the <urlset> grammar crawlers consume in
+    practice: every <url> entry's <loc>, with its optional sibling <lastmod>
+    (W3C datetime, date-only accepted).  Pure native: regexp_extract_all of
+    the <url> blocks, then per-block <loc>/<lastmod> extraction — one
+    map-only pass over per-host-bounded bodies, no shuffle.  Feeds the same
+    frontier union path as seed lists; pair with an as-of join against the
+    crawl log for lastmod-conditional refetch."""
+    blocks = raw.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(F.col("body"), F.lit(r"(?s)<url>(.*?)</url>"), 1)
+        ).alias("blk"),
+    )
+    url = F.trim(F.regexp_extract(F.col("blk"), r"<loc>\s*([^<]+?)\s*</loc>", 1))
+    lastmod = F.regexp_extract(F.col("blk"), r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1)
+    return (
+        blocks.select(
+            "host",
+            url.alias("url"),
+            F.when(lastmod == "", None)
+            .otherwise(F.to_timestamp(F.substring(lastmod, 1, 10), "yyyy-MM-dd"))
+            .alias("lastmod"),
+        )
+        .filter(F.col("url") != "")
+    )
