@@ -352,6 +352,12 @@ def q60_sql_surface(spark, sf_dir):
     )
 
 
+def q61_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over the corpus: boundary-stable sub-document
+    chunks whose md5s dedupe shared substrings across docs."""
+    return textproc.cdc_chunks(read(spark, sf_dir, "documents"))
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -385,6 +391,7 @@ QUERIES = {
     "q58_frame_sample": q58_frame_sample,
     "q59_lang_pivot": q59_lang_pivot,
     "q60_sql_surface": q60_sql_surface,
+    "q61_cdc_chunks": q61_cdc_chunks,
 }
 
 _SHINGLE_CTE = """
@@ -671,6 +678,21 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "CAST(max(n_chars) AS BIGINT) AS max_chars "
         "FROM documents WHERE lang IN ('en', 'es') "
         "GROUP BY source HAVING count(*) >= 5"
+    ),
+    "q61_cdc_chunks": (
+        "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+        "pos AS (SELECT doc_id, text, n, "
+        "unnest(range(0, greatest(n - 7, 1))) AS i FROM d), "
+        "fl AS (SELECT doc_id, text, n, i FROM pos WHERE i = 0 "
+        "OR substr(md5(substr(text, CAST(i + 1 AS BIGINT), 8)), 1, 1) = '0'), "
+        "st AS (SELECT doc_id, text, n, i AS cs, "
+        "lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ci FROM fl) "
+        "SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx, "
+        "CAST(cs AS BIGINT) AS chunk_start, "
+        "CAST(coalesce(nxt, n) - cs AS BIGINT) AS chunk_len, "
+        "md5(substr(text, CAST(cs + 1 AS BIGINT), CAST(coalesce(nxt, n) - cs AS BIGINT))) AS chunk_md5 "
+        "FROM st"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -173,3 +173,54 @@ def pack_sequences(
         F.floor(start / F.lit(budget)).cast("long").alias("seq_id"),
         (start % budget).cast("long").alias("seq_pos"),
     )
+
+
+def cdc_chunks(df: DataFrame, w: int = 8, text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (Rabin-style, cf. LBFS Muthitacharoen et al.
+    SOSP'01): a chunk boundary opens at every position whose w-gram hash
+    starts with hex '0' (expected chunk ~16 chars at w=8; no min/max clamp —
+    documented simplification), so chunk boundaries survive insertions and
+    deletions and chunk hashes dedupe SHARED SUBSTRINGS across documents —
+    the sub-document complement of whole-doc near-dup.
+
+    Same codegen shape as the winnowing fingerprints: char posexplode +
+    w-1 window leads + native md5 for the boundary flags (never a HOF gram
+    lambda), then one lead() over the boundary rows for chunk extents and a
+    co-partitioned join back to the doc text for the chunk md5s.  Returns
+    (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5)."""
+    from pyspark.sql import Window
+
+    chars = df.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), "")).alias("idx", "c0")
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("idx")
+    cur = chars
+    gram_cols = [F.col("c0")]
+    for j in range(1, w):
+        cur = cur.withColumn(f"c{j}", F.lead("c0", j).over(wlead))
+        gram_cols.append(F.col(f"c{j}"))
+    flag = (F.col(f"c{w-1}").isNotNull()) & (
+        F.substring(F.md5(F.concat(*gram_cols)), 1, 1) == "0"
+    )
+    starts = cur.filter((F.col("idx") == 0) | flag).select("doc_id", "idx")
+    wdoc = Window.partitionBy("doc_id").orderBy("idx")
+    bounds = starts.select(
+        "doc_id",
+        F.col("idx").alias("chunk_start"),
+        (F.row_number().over(wdoc) - 1).alias("chunk_idx"),
+        F.lead("idx").over(wdoc).alias("next_start"),
+    )
+    chunk = F.col(text_col).substr(
+        F.col("chunk_start") + 1,
+        F.coalesce(F.col("next_start"), F.length(text_col)) - F.col("chunk_start"),
+    )
+    return (
+        bounds.join(df.select("doc_id", text_col), "doc_id")
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

@@ -362,3 +362,31 @@ def test_ivf_arrow_assignment_equals_hof_path(spark, emb):
         (r["vid"], r["cid"]) for r in simsearch.ivf_assign_arrow(emb).collect()
     }
     assert arrow == hof
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The CDC property: prepending text shifts offsets but leaves the chunk
+    hashes downstream of the first content boundary intact — a fixed-size
+    chunker would invalidate every chunk."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside "
+        "the old house near the river bend under the bright morning sun"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED PREFIX >>> " + base)], "doc_id long, text string"
+    )
+    out = textproc.cdc_chunks(df)
+    h1 = [r["chunk_md5"] for r in out.filter(F.col("doc_id") == 1).orderBy("chunk_idx").collect()]
+    h2 = [r["chunk_md5"] for r in out.filter(F.col("doc_id") == 2).orderBy("chunk_idx").collect()]
+    shared = set(h1) & set(h2)
+    # everything after the edit realigns: all of doc 1's chunks except its
+    # head chunk must reappear verbatim in doc 2
+    assert set(h1[1:]) <= set(h2), (h1, h2)
+    assert len(shared) >= len(h1) - 1 and len(h1) >= 3
+    # chunks tile the document exactly
+    row = out.filter(F.col("doc_id") == 1).orderBy("chunk_idx").collect()
+    assert row[0]["chunk_start"] == 0
+    for a, b in zip(row, row[1:]):
+        assert a["chunk_start"] + a["chunk_len"] == b["chunk_start"]
+    assert row[-1]["chunk_start"] + row[-1]["chunk_len"] == len(base)
