@@ -358,6 +358,24 @@ def q61_cdc_chunks(spark, sf_dir):
     return textproc.cdc_chunks(read(spark, sf_dir, "documents"))
 
 
+def q62_training_batches(spark, sf_dir):
+    """The capstone composition crawl -> clean -> batch: drop every near-dup
+    cluster member except the max-quality representative (q56 semantics),
+    then pack the surviving corpus into 256-token training sequences (q55
+    semantics).  One checked query covering the full corpus-to-batches
+    decision chain; each stage is the already-verified operator."""
+    docs = read(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    labels = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    quality = textproc.quality_score(docs).select("doc_id", "quality")
+    reps = dedup.cluster_representatives(labels, quality).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    non_keepers = labels.join(reps, "doc_id", "left_anti").select("doc_id")
+    kept = docs.join(non_keepers, "doc_id", "left_anti")
+    return textproc.pack_sequences(kept, budget=256)
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -392,6 +410,7 @@ QUERIES = {
     "q59_lang_pivot": q59_lang_pivot,
     "q60_sql_surface": q60_sql_surface,
     "q61_cdc_chunks": q61_cdc_chunks,
+    "q62_training_batches": q62_training_batches,
 }
 
 _SHINGLE_CTE = """
@@ -693,6 +712,46 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "CAST(coalesce(nxt, n) - cs AS BIGINT) AS chunk_len, "
         "md5(substr(text, CAST(cs + 1 AS BIGINT), CAST(coalesce(nxt, n) - cs AS BIGINT))) AS chunk_md5 "
         "FROM st"
+    ),
+    "q62_training_batches": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ")
+    + (
+        ", pairs AS ("
+        "SELECT doc_a, doc_b FROM shr "
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.5"
+        "), edges AS ("
+        "SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs"
+        "), reach(src, dst) AS ("
+        "SELECT src, dst FROM edges "
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src"
+        "), lab AS ("
+        "SELECT src AS doc_id, least(src, min(dst)) AS label FROM reach GROUP BY src"
+        "), qs AS ("
+        "SELECT doc_id, round(least(1.0, len(string_split_regex(lower(text), '\\s+')) / 400.0)"
+        " * (1.0 - round(len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> x IN ('the','a','of','and','to','in')))"
+        " / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE), 4)), 4)"
+        " AS quality FROM documents"
+        "), m AS ("
+        "SELECT lab.doc_id, lab.label, qs.quality FROM lab JOIN qs USING (doc_id)"
+        "), keepers AS ("
+        "SELECT doc_id FROM (SELECT doc_id, "
+        "row_number() OVER (PARTITION BY label ORDER BY quality DESC, doc_id) AS rk FROM m) "
+        "WHERE rk = 1"
+        "), kept AS ("
+        "SELECT source, doc_id, text FROM documents WHERE doc_id NOT IN ("
+        "SELECT doc_id FROM m WHERE doc_id NOT IN (SELECT doc_id FROM keepers))"
+        "), t AS ("
+        "SELECT source, doc_id, "
+        "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens FROM kept"
+        "), st AS ("
+        "SELECT source, doc_id, n_tokens, "
+        "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens "
+        "AS BIGINT) AS s0 FROM t) "
+        "SELECT source, doc_id, n_tokens, "
+        "CAST(floor(s0 / 256.0) AS BIGINT) AS seq_id, "
+        "CAST(s0 % 256 AS BIGINT) AS seq_pos FROM st"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
