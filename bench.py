@@ -49,6 +49,8 @@ HEADLINE = [
     "q54_interleaved_flatten",
     "q56_cluster_representatives",
     "q57_ann_ivf",
+    "q61_cdc_chunks",
+    "q62_training_batches",
 ]
 
 
