@@ -390,3 +390,38 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     for a, b in zip(row, row[1:]):
         assert a["chunk_start"] + a["chunk_len"] == b["chunk_start"]
     assert row[-1]["chunk_start"] + row[-1]["chunk_len"] == len(base)
+
+
+def test_cdc_chunks_match_python_reference(spark):
+    """Chunk boundaries/hashes vs a straight-line Python chunker over a
+    seeded random corpus — every (doc, idx, start, len, md5) must agree."""
+    import hashlib
+    import random
+
+    rng = random.Random(99)
+    alpha = "abcdef gh"
+    docs = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(5, 300))))
+        for i in range(40)
+    ]
+
+    def ref_chunks(doc_id, text):
+        starts = [0]
+        for i in range(len(text) - 7):
+            if i > 0 and hashlib.md5(text[i : i + 8].encode()).hexdigest()[0] == "0":
+                starts.append(i)
+        out = []
+        for ci, s in enumerate(starts):
+            e = starts[ci + 1] if ci + 1 < len(starts) else len(text)
+            out.append(
+                (doc_id, ci, s, e - s, hashlib.md5(text[s:e].encode()).hexdigest())
+            )
+        return out
+
+    expected = sorted(r for d, t in docs for r in ref_chunks(d, t))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk_len"], r["chunk_md5"])
+        for r in textproc.cdc_chunks(df).collect()
+    )
+    assert got == expected
