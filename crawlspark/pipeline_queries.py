@@ -376,6 +376,32 @@ def q62_training_batches(spark, sf_dir):
     return textproc.pack_sequences(kept, budget=256)
 
 
+def q63_chunk_dedup_stats(spark, sf_dir):
+    """Chunk-level dedup decision over the CDC output: for every chunk hash
+    shared by more than one (doc, position), the occurrence count, number of
+    distinct docs, and the canonical keeper (lowest doc_id, then offset) —
+    the sub-document analog of q30's exact groups."""
+    ch = textproc.cdc_chunks(read(spark, sf_dir, "documents"))
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "chunk_start")).alias("k"),
+            F.min("chunk_len").alias("chunk_len"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            "chunk_md5",
+            "n_occurrences",
+            "n_docs",
+            F.col("k.doc_id").alias("keeper_doc"),
+            F.col("k.chunk_start").cast("long").alias("keeper_start"),
+            "chunk_len",
+        )
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -411,6 +437,7 @@ QUERIES = {
     "q60_sql_surface": q60_sql_surface,
     "q61_cdc_chunks": q61_cdc_chunks,
     "q62_training_batches": q62_training_batches,
+    "q63_chunk_dedup_stats": q63_chunk_dedup_stats,
 }
 
 _SHINGLE_CTE = """
@@ -752,6 +779,25 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "SELECT source, doc_id, n_tokens, "
         "CAST(floor(s0 / 256.0) AS BIGINT) AS seq_id, "
         "CAST(s0 % 256 AS BIGINT) AS seq_pos FROM st"
+    ),
+    "q63_chunk_dedup_stats": (
+        "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+        "pos AS (SELECT doc_id, text, n, "
+        "unnest(range(0, greatest(n - 7, 1))) AS i FROM d), "
+        "fl AS (SELECT doc_id, text, n, i FROM pos WHERE i = 0 "
+        "OR substr(md5(substr(text, CAST(i + 1 AS BIGINT), 8)), 1, 1) = '0'), "
+        "st AS (SELECT doc_id, text, n, i AS cs, "
+        "lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt FROM fl), "
+        "ch AS (SELECT doc_id, CAST(cs AS BIGINT) AS cs, "
+        "CAST(coalesce(nxt, n) - cs AS BIGINT) AS cl, "
+        "md5(substr(text, CAST(cs + 1 AS BIGINT), CAST(coalesce(nxt, n) - cs AS BIGINT))) AS chunk_md5 "
+        "FROM st) "
+        "SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occurrences, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "min(doc_id) AS keeper_doc, "
+        "CAST(min(cs) FILTER (doc_id = (SELECT min(doc_id) FROM ch c2 WHERE c2.chunk_md5 = ch.chunk_md5)) AS BIGINT) AS keeper_start, "
+        "CAST(min(cl) AS BIGINT) AS chunk_len "
+        "FROM ch GROUP BY chunk_md5 HAVING count(*) > 1"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
