@@ -138,3 +138,60 @@ def with_url_key(df, url_col: str = "url"):
     return df.withColumn("url_canon", canonicalize(F.col(url_col))).withColumn(
         "url_h", hash64(F.col("url_canon"))
     )
+
+
+def resolve(base: Column, href: Column) -> Column:
+    """RFC 3986 §5 reference resolution in native expressions: absolutize a
+    discovered link against its page URL — the step between link extraction
+    and canonicalize in a real crawl (hrefs are mostly relative).
+
+    Handles absolute URLs, scheme-relative (//host/x), root-relative (/x),
+    and path-relative (x, ./x, ../x) references, including dot-segment
+    removal via an aggregate fold over path segments (push/pop — bounded by
+    path depth, so the interpreted-lambda cost is a few steps per URL).
+    Query-only ('?q') and fragment-only refs keep the base path.  Tested
+    against Python's urllib.parse.urljoin on a seeded reference corpus."""
+    b = F.trim(base)
+    h = F.trim(href)
+    origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+)", 1)
+    bpath = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    bdir = F.when(
+        bpath.rlike("/"), F.regexp_replace(bpath, r"[^/]*$", "")
+    ).otherwise(F.lit("/"))
+    sch = F.regexp_extract(b, _SCHEME_RE, 1)
+
+    bquery = F.regexp_extract(b, r"(\?[^#]*)", 1)
+    raw_path = (
+        F.when(h.rlike(_SCHEME_RE), h)  # already absolute
+        .when(h.startswith("//"), F.concat(sch, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h.startswith("?"), F.concat(origin, bpath, h))
+        # fragment-only and empty refs keep the base QUERY too (RFC 3986 §5.3)
+        .when(h.startswith("#"), F.concat(origin, bpath, bquery, h))
+        .when(h == "", F.concat(origin, bpath, bquery))
+        .otherwise(F.concat(origin, bdir, h))
+    )
+    # dot-segment removal on the path component only
+    o2 = F.regexp_extract(raw_path, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+)", 1)
+    p2 = F.regexp_extract(raw_path, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    tail = F.regexp_extract(raw_path, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+[^?#]*([?#].*)?$", 1)
+    segs = F.split(p2, "/")
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(x == ".", acc)
+        .when(
+            x == "..",
+            F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+        )
+        .otherwise(F.concat(acc, F.array(x))),
+    )
+    # a trailing '.' or '..' segment leaves a directory path (trailing slash)
+    dir_tail = F.element_at(segs, -1).isin(".", "..")
+    clean = F.concat(
+        F.array_join(folded, "/"), F.when(dir_tail, F.lit("/")).otherwise(F.lit(""))
+    )
+    clean = F.when(clean.startswith("/"), clean).otherwise(F.concat(F.lit("/"), clean))
+    return F.when(
+        p2 == "", F.concat(o2, F.when(tail.isNull(), F.lit("")).otherwise(tail))
+    ).otherwise(F.concat(o2, clean, F.when(tail.isNull(), F.lit("")).otherwise(tail)))

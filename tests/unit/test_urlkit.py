@@ -99,3 +99,56 @@ def test_pct_normalize_matches_python_reference(spark):
     for r in got.collect():
         assert r["n1"] == ref(r["s"]), (r["s"], r["n1"], ref(r["s"]))
         assert r["n2"] == r["n1"], f"not idempotent: {r['s']} -> {r['n1']} -> {r['n2']}"
+
+
+def test_resolve_matches_urljoin_reference(spark):
+    """urlkit.resolve vs urllib.parse.urljoin: fixed RFC 3986 edge cases
+    plus a seeded random reference corpus must agree exactly."""
+    import random
+    from urllib.parse import urljoin
+
+    from pyspark.sql import functions as F
+
+    fixed = [
+        ("http://h.com/a/b/page.html", "x.html"),
+        ("http://h.com/a/b/page.html", "./x.html"),
+        ("http://h.com/a/b/page.html", "../x.html"),
+        ("http://h.com/a/b/page.html", "../../../x.html"),
+        ("http://h.com/a/b/page.html", "/root.html"),
+        ("http://h.com/a/b/page.html", "//other.com/y"),
+        ("http://h.com/a/b/page.html", "https://abs.com/z"),
+        ("http://h.com/a/b/page.html?old=1", "?q=1"),
+        ("http://h.com/a/b/page.html?old=1", "#frag"),
+        ("http://h.com/a/b/page.html?old=1", ""),
+        ("http://h.com", "x"),
+        ("http://h.com/a/", "b/c/../d"),
+        ("http://h.com/a/b/", ".."),
+        ("http://h.com/a/b/", "."),
+        ("http://h.com/a/b/page", "x/"),
+        ("http://h.com/deep/", "../../../up.html"),
+    ]
+    rng = random.Random(5)
+    seg = lambda: rng.choice(["a", "bb", "c1", "review-p2", "x.html"])
+    for _ in range(80):
+        base = "http://h%d.com/%s" % (rng.randrange(3), "/".join(seg() for _ in range(rng.randrange(0, 4))))
+        if rng.random() < 0.4:
+            base += "?k=%d" % rng.randrange(9)
+        href = rng.choice(
+            [
+                "/".join(rng.choice(["..", ".", seg()]) for _ in range(rng.randrange(1, 4))),
+                "/" + seg(),
+                "?q=%d" % rng.randrange(9),
+                "#s%d" % rng.randrange(9),
+                "",
+            ]
+        )
+        fixed.append((base, href))
+
+    from crawlspark import urlkit
+
+    df = spark.createDataFrame(fixed, "base string, href string")
+    got = df.select(
+        "base", "href", urlkit.resolve(F.col("base"), F.col("href")).alias("r")
+    ).collect()
+    for r in got:
+        assert r["r"] == urljoin(r["base"], r["href"]), (r["base"], r["href"], r["r"])
