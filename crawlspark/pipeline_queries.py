@@ -402,6 +402,63 @@ def q63_chunk_dedup_stats(spark, sf_dir):
     )
 
 
+def q64_link_extraction(spark, sf_dir):
+    """The discovery chain extract -> resolve -> canonicalize as one checked
+    query: deterministic synthetic anchors (root-relative, path-relative,
+    absolute external) are built per doc, hrefs pulled with one
+    regexp_extract_all, absolutized against the page URL (urlkit.resolve),
+    and canonicalized.  The synthetic URLs are canonical-by-construction
+    after resolution, so the SQL mirror resolves with plain CASE/concat and
+    the canonicalize step must be the identity -- any deviation hash-fails."""
+    from crawlspark import urlkit
+
+    d = read(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("https://docs.example.com/dir"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/page"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit('<a href="/hotel/'), (F.col("doc_id") % 50).cast("string"),
+        F.lit('">x</a> <a href="p'), (F.col("doc_id") % 7).cast("string"),
+        F.lit('.html">y</a> <a href="https://ext.example.com/'),
+        (F.col("doc_id") % 3).cast("string"), F.lit('">z</a>'),
+    )
+    links = d.select(
+        "doc_id",
+        page.alias("page_url"),
+        F.explode(
+            F.regexp_extract_all(html, F.lit('href="([^"]+)"'), 1)
+        ).alias("href"),
+    )
+    return links.select(
+        "doc_id",
+        "href",
+        urlkit.canonicalize(
+            urlkit.resolve(F.col("page_url"), F.col("href"))
+        ).alias("url_canon"),
+    )
+
+
+def q65_host_link_graph(spark, sf_dir):
+    """Host-level web graph over the extracted links: (src_host, dst_host,
+    n_links) -- the aggregation behind crawl-budget and authority decisions.
+    One hash agg on top of q64's chain."""
+    from crawlspark import urlkit
+
+    links = q64_link_extraction(spark, sf_dir)
+    return (
+        links.select(
+            F.lit("docs.example.com").alias("src_host"),
+            urlkit.host(F.col("url_canon")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -438,6 +495,8 @@ QUERIES = {
     "q61_cdc_chunks": q61_cdc_chunks,
     "q62_training_batches": q62_training_batches,
     "q63_chunk_dedup_stats": q63_chunk_dedup_stats,
+    "q64_link_extraction": q64_link_extraction,
+    "q65_host_link_graph": q65_host_link_graph,
 }
 
 _SHINGLE_CTE = """
@@ -799,6 +858,8 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "CAST(min(cl) AS BIGINT) AS chunk_len "
         "FROM ch GROUP BY chunk_md5 HAVING count(*) > 1"
     ),
+    "q64_link_extraction": 'WITH d AS (SELECT doc_id, \'https://docs.example.com/dir\' || CAST(doc_id % 5 AS VARCHAR) || \'/page\' || CAST(doc_id AS VARCHAR) || \'.html\' AS page_url, \'<a href="/hotel/\' || CAST(doc_id % 50 AS VARCHAR) || \'">x</a> <a href="p\' || CAST(doc_id % 7 AS VARCHAR) || \'.html">y</a> <a href="https://ext.example.com/\' || CAST(doc_id % 3 AS VARCHAR) || \'">z</a>\' AS html FROM documents), l AS (SELECT doc_id, page_url, unnest(regexp_extract_all(html, \'href="([^"]+)"\', 1)) AS href FROM d), r AS (SELECT doc_id, href, CASE WHEN href LIKE \'https://%\' THEN href WHEN href LIKE \'/%\' THEN \'https://docs.example.com\' || href ELSE regexp_replace(page_url, \'[^/]*$\', \'\') || href END AS url_canon FROM l) SELECT doc_id, href, url_canon FROM r',
+    "q65_host_link_graph": 'WITH d AS (SELECT doc_id, \'https://docs.example.com/dir\' || CAST(doc_id % 5 AS VARCHAR) || \'/page\' || CAST(doc_id AS VARCHAR) || \'.html\' AS page_url, \'<a href="/hotel/\' || CAST(doc_id % 50 AS VARCHAR) || \'">x</a> <a href="p\' || CAST(doc_id % 7 AS VARCHAR) || \'.html">y</a> <a href="https://ext.example.com/\' || CAST(doc_id % 3 AS VARCHAR) || \'">z</a>\' AS html FROM documents), l AS (SELECT doc_id, page_url, unnest(regexp_extract_all(html, \'href="([^"]+)"\', 1)) AS href FROM d), r AS (SELECT doc_id, href, CASE WHEN href LIKE \'https://%\' THEN href WHEN href LIKE \'/%\' THEN \'https://docs.example.com\' || href ELSE regexp_replace(page_url, \'[^/]*$\', \'\') || href END AS url_canon FROM l) SELECT \'docs.example.com\' AS src_host, regexp_extract(url_canon, \'^[A-Za-z][A-Za-z0-9+.\\\\-]*://([^/?#]+)\', 1) AS dst_host, CAST(count(*) AS BIGINT) AS n_links FROM r GROUP BY 1, 2',
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
         "round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
