@@ -80,3 +80,37 @@ class StateStore:
             return None
         df = self.spark.read.option("basePath", base).parquet(base)
         return df.filter(df["wave"] <= upto_wave)
+
+    def compact_deltas(self, table: str) -> int:
+        """Rewrite a delta table's per-wave directories so each wave holds
+        ONE file instead of one-per-task — the small-files compaction a
+        long crawl needs (10^4 waves x 32 tasks = 320k files otherwise).
+
+        Layout, schemas, and wave-pruned reads are unchanged; rows for any
+        partially-written (uncommitted) wave are carried through untouched
+        and remain overwritten by resume, so the manifest commit discipline
+        is preserved.  The local parquet backend swaps directories
+        (crash between the two renames can leave the old dir under
+        '<table>.old' — recoverable by hand); the Iceberg production
+        backend would use rewrite_data_files, which is atomic.
+        Returns the number of parquet files after compaction."""
+        import shutil
+
+        base = os.path.join(self.root, table)
+        if not os.path.isdir(base) or not os.listdir(base):
+            return 0
+        df = self.spark.read.option("basePath", base).parquet(base)
+        tmp = base + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.repartition("wave").write.partitionBy("wave").parquet(tmp)
+        old = base + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(base, old)
+        os.rename(tmp, base)
+        shutil.rmtree(old)
+        return sum(
+            1
+            for _, _, files in os.walk(base)
+            for f in files
+            if f.endswith(".parquet")
+        )

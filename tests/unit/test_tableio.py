@@ -43,3 +43,33 @@ def test_write_documents_enforces_span_shape(spark, tmp_path):
     assert back.count() == 5
     f = back.schema["spans"].dataType.elementType.fieldNames()
     assert f == ["kind", "text", "media_ref", "offset"]
+
+
+def test_compact_deltas_preserves_rows_and_reduces_files(spark, tmp_path):
+    import os
+
+    from crawlspark.state import StateStore
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    for wave in range(5):
+        df = spark.range(wave * 100, wave * 100 + 100).select(
+            F.col("id").alias("url_h")
+        ).repartition(8)
+        store.write_delta(df, "crawl_log", wave)
+        store.commit(wave, {"config": {}})
+
+    before = sorted(
+        r["url_h"] for r in store.read_deltas("crawl_log", 4).collect()
+    )
+    base = str(tmp_path / "state" / "crawl_log")
+    n_before = sum(
+        1 for _, _, fs in os.walk(base) for f in fs if f.endswith(".parquet")
+    )
+    n_after = store.compact_deltas("crawl_log")
+    assert n_after < n_before and n_after == 5  # one file per wave
+    after = sorted(
+        r["url_h"] for r in store.read_deltas("crawl_log", 4).collect()
+    )
+    assert after == before
+    # wave pruning still works post-compaction
+    assert store.read_deltas("crawl_log", 2).count() == 300
