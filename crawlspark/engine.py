@@ -62,6 +62,7 @@ class EngineConfig:
     use_pandas_fetch: bool = False  # J2 path instead of native exprs
     salt_partitions: int = 16  # K1: fetch-stage salting
     salted_topk: bool = True  # G1+G3 fused two-phase rank (skew-proof)
+    compact_every: int | None = None  # compact delta tables every N waves
 
 
 class CrawlEngine:
@@ -291,6 +292,13 @@ class CrawlEngine:
         n = 0
         while n < max_waves and self.step():
             n += 1
+            # periodic small-files compaction of the append-only deltas:
+            # pure file-layout rewrite (row-identical, wave-pruning intact),
+            # so crawl results are unaffected — asserted by the equality
+            # suite running a compacting config
+            if self.cfg.compact_every and n % self.cfg.compact_every == 0:
+                for t in ("crawl_log", "spans", "retired"):
+                    self.store.compact_deltas(t)
         return n
 
     def recrawl(self, url_keys: DataFrame) -> int:

@@ -210,3 +210,13 @@ def test_cuckoo_recrawl_delete_then_refetch(spark, oracle):
         assert dup_docs == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compacting_run_identical(spark, oracle):
+    """Periodic delta compaction mid-run is a pure file-layout rewrite: the
+    crawl order, seen set, and span sequences must be byte-identical to the
+    oracle (and thus to every non-compacting config)."""
+    order, seen, docs, _ = _run_engine(
+        spark, EngineConfig(n_hotels=N_HOTELS, compact_every=2)
+    )
+    _assert_equal(oracle, order, seen, docs)
