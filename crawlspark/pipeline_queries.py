@@ -459,6 +459,23 @@ def q65_host_link_graph(spark, sf_dir):
     )
 
 
+def q66_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the asymmetric cousin of q15 rollup / q26
+    cube): per-source totals, per-lang totals, and the grand total in one
+    aggregation pass, with grouping_id disambiguating the null dimension."""
+    read(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT source, lang,
+               CAST(grouping(source) * 2 + grouping(lang) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents_v
+        GROUP BY GROUPING SETS ((source), (lang), ())
+        """
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -497,6 +514,7 @@ QUERIES = {
     "q63_chunk_dedup_stats": q63_chunk_dedup_stats,
     "q64_link_extraction": q64_link_extraction,
     "q65_host_link_graph": q65_host_link_graph,
+    "q66_grouping_sets": q66_grouping_sets,
 }
 
 _SHINGLE_CTE = """
@@ -860,6 +878,13 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
     ),
     "q64_link_extraction": 'WITH d AS (SELECT doc_id, \'https://docs.example.com/dir\' || CAST(doc_id % 5 AS VARCHAR) || \'/page\' || CAST(doc_id AS VARCHAR) || \'.html\' AS page_url, \'<a href="/hotel/\' || CAST(doc_id % 50 AS VARCHAR) || \'">x</a> <a href="p\' || CAST(doc_id % 7 AS VARCHAR) || \'.html">y</a> <a href="https://ext.example.com/\' || CAST(doc_id % 3 AS VARCHAR) || \'">z</a>\' AS html FROM documents), l AS (SELECT doc_id, page_url, unnest(regexp_extract_all(html, \'href="([^"]+)"\', 1)) AS href FROM d), r AS (SELECT doc_id, href, CASE WHEN href LIKE \'https://%\' THEN href WHEN href LIKE \'/%\' THEN \'https://docs.example.com\' || href ELSE regexp_replace(page_url, \'[^/]*$\', \'\') || href END AS url_canon FROM l) SELECT doc_id, href, url_canon FROM r',
     "q65_host_link_graph": 'WITH d AS (SELECT doc_id, \'https://docs.example.com/dir\' || CAST(doc_id % 5 AS VARCHAR) || \'/page\' || CAST(doc_id AS VARCHAR) || \'.html\' AS page_url, \'<a href="/hotel/\' || CAST(doc_id % 50 AS VARCHAR) || \'">x</a> <a href="p\' || CAST(doc_id % 7 AS VARCHAR) || \'.html">y</a> <a href="https://ext.example.com/\' || CAST(doc_id % 3 AS VARCHAR) || \'">z</a>\' AS html FROM documents), l AS (SELECT doc_id, page_url, unnest(regexp_extract_all(html, \'href="([^"]+)"\', 1)) AS href FROM d), r AS (SELECT doc_id, href, CASE WHEN href LIKE \'https://%\' THEN href WHEN href LIKE \'/%\' THEN \'https://docs.example.com\' || href ELSE regexp_replace(page_url, \'[^/]*$\', \'\') || href END AS url_canon FROM l) SELECT \'docs.example.com\' AS src_host, regexp_extract(url_canon, \'^[A-Za-z][A-Za-z0-9+.\\\\-]*://([^/?#]+)\', 1) AS dst_host, CAST(count(*) AS BIGINT) AS n_links FROM r GROUP BY 1, 2',
+    "q66_grouping_sets": (
+        "SELECT source, lang, "
+        "CAST(grouping(source) * 2 + grouping(lang) AS INTEGER) AS gid, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY GROUPING SETS ((source), (lang), ())"
+    ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
         "round(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), "
