@@ -139,3 +139,26 @@ def test_jaccard_pairs_single_pass_plan(spark):
     # count the detail headers to count actual scan nodes
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
     assert "Join" not in p
+
+
+def test_link_chain_is_map_only(spark):
+    """q64 (extract -> resolve -> canonicalize) must be a pure map pipeline:
+    zero exchanges — at 100 TB this stage costs no shuffle at all."""
+    import re
+
+    from crawlspark import pipeline_queries as pq
+
+    p = plan_of(pq.QUERIES["q64_link_extraction"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 0
+
+
+def test_sequence_packing_single_exchange(spark):
+    """q55 packing is one hash exchange (the per-stream window) and nothing
+    else — no global sort, no second shuffle."""
+    import re
+
+    from crawlspark import pipeline_queries as pq
+
+    p = plan_of(pq.QUERIES["q55_sequence_packing"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "rangepartitioning" not in p.lower()
