@@ -476,6 +476,35 @@ def q66_grouping_sets(spark, sf_dir):
     )
 
 
+def q67_mixture_rebalance(spark, sf_dir):
+    """Language-mixture rebalancing: downsample over-represented languages
+    toward a uniform 20% target share.  Per-lang keep rate =
+    min(1, target/share) quantized to basis points; the keep decision is a
+    deterministic md5 content-hash bucket (q49 idiom — auditable, stable
+    under re-ids); corpus totals enter via 1-row-agg cross joins (q29
+    idiom — no driver-side count)."""
+    d = read(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").cast("double").alias("n_total"))
+    shares = d.groupBy("lang").agg(F.count("*").cast("double").alias("n_lang"))
+    rate_bp = F.floor(
+        F.least(F.lit(1.0), F.lit(0.2) / (F.col("n_lang") / F.col("n_total")))
+        * 10000
+    ).cast("int")
+    rates = shares.crossJoin(F.broadcast(total)).select(
+        "lang", rate_bp.alias("rate_bp")
+    )
+    m = F.md5(F.col("text"))
+    bucket = (
+        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1))) % 10000
+    ).cast("int")
+    return (
+        d.withColumn("bucket", bucket)
+        .join(rates, "lang")
+        .filter(F.col("bucket") < F.col("rate_bp"))
+        .select("doc_id", "lang", "bucket", "rate_bp")
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -515,6 +544,7 @@ QUERIES = {
     "q64_link_extraction": q64_link_extraction,
     "q65_host_link_graph": q65_host_link_graph,
     "q66_grouping_sets": q66_grouping_sets,
+    "q67_mixture_rebalance": q67_mixture_rebalance,
 }
 
 _SHINGLE_CTE = """
@@ -884,6 +914,17 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(n_chars) AS BIGINT) AS total_chars "
         "FROM documents GROUP BY GROUPING SETS ((source), (lang), ())"
+    ),
+    "q67_mixture_rebalance": (
+        "WITH tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents), "
+        "sh AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_lang FROM documents GROUP BY lang), "
+        "rates AS (SELECT lang, CAST(floor(least(1.0, 0.2 / (n_lang / n_total)) * 10000) AS INTEGER) AS rate_bp "
+        "FROM sh, tot), "
+        "b AS (SELECT doc_id, lang, "
+        "CAST((ascii(substr(md5(text), 1, 1)) * 256 + ascii(substr(md5(text), 2, 1))) % 10000 AS INTEGER) AS bucket "
+        "FROM documents) "
+        "SELECT doc_id, b.lang, bucket, rate_bp FROM b JOIN rates ON rates.lang = b.lang "
+        "WHERE bucket < rate_bp"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
