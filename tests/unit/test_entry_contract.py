@@ -1,0 +1,40 @@
+"""Driver-contract registry guards: every oracle key maps to a registered
+query, and the rows-only set stays exactly the five documented exceptions
+(a typo in either dict silently downgrades a query to rows-only)."""
+
+from __future__ import annotations
+
+import importlib.util
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_every_oracle_key_has_a_query():
+    m = _entry()
+    q, o = m.queries(), m.oracle_sql()
+    assert set(o) <= set(q), f"orphan oracle keys: {set(o) - set(q)}"
+
+
+def test_rows_only_set_is_exactly_the_documented_exceptions():
+    m = _entry()
+    q, o = m.queries(), m.oracle_sql()
+    assert set(q) - set(o) == {
+        "q27_session_window",      # DuckDB lacks session_window (q47 twin is checked)
+        "q32_minhash_lsh",         # xxhash64 sketch
+        "q33_simhash_neardup",     # xxhash64 sketch
+        "q39_multimodal_features", # binary plumbing
+        "q41_ann_lsh",             # xxhash-free but numpy-bucketed (rows-only by design)
+    }
+
+
+def test_query_keys_are_well_formed():
+    m = _entry()
+    for k in m.queries():
+        assert k[0] == "q" and k[3] == "_" and k[1:3].isdigit(), k
