@@ -425,3 +425,36 @@ def test_cdc_chunks_match_python_reference(spark):
         for r in textproc.cdc_chunks(df).collect()
     )
     assert got == expected
+
+
+def test_packing_and_flatten_partition_invariant(spark, docs):
+    """Window/sort determinism contract: repartitioning the input must not
+    change packing assignments or flattened span text (unique sort keys ->
+    unique results at any parallelism)."""
+    from crawlspark import assemble
+    from crawlspark import pipeline_queries as pq
+
+    a = {
+        (r["source"], r["doc_id"]): (r["seq_id"], r["seq_pos"])
+        for r in textproc.pack_sequences(docs, budget=256).collect()
+    }
+    b = {
+        (r["source"], r["doc_id"]): (r["seq_id"], r["seq_pos"])
+        for r in textproc.pack_sequences(docs.repartition(7), budget=256).collect()
+    }
+    assert a == b
+
+    spans = pq.interleaved_spans(spark, SF)
+    f1 = {
+        r["doc_id"]: r["flat_text"]
+        for r in assemble.flatten_for_training(
+            assemble.collect_spans(spans)
+        ).collect()
+    }
+    f2 = {
+        r["doc_id"]: r["flat_text"]
+        for r in assemble.flatten_for_training(
+            assemble.collect_spans(spans.repartition(11))
+        ).collect()
+    }
+    assert f1 == f2
