@@ -162,3 +162,34 @@ def test_sequence_packing_single_exchange(spark):
     p = plan_of(pq.QUERIES["q55_sequence_packing"](spark, SF))
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
     assert "rangepartitioning" not in p.lower()
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Registry-wide scale sweep: NO query may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin may appear only in the documented
+    small-side-broadcast idioms (1-row scalar aggregates, small-by-contract
+    ANN query sides, the 16-row IVF codebook)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    bnlj_allowed = {
+        "q29_scalar_subquery",   # 1-row aggregate crossJoin(broadcast)
+        "q34_ann_cosine",        # query side small by contract
+        "q46_tfidf",             # 1-row N crossJoin(broadcast)
+        "q57_ann_ivf",           # 16-row codebook + 8-row query side
+        "q67_mixture_rebalance", # 1-row total crossJoin(broadcast)
+    }
+    offenders, bnlj_new = [], []
+    for k, fn in sorted(m.queries().items()):
+        p = plan_of(fn(spark, SF))
+        if "CartesianProduct" in p:
+            offenders.append(k)
+        if "BroadcastNestedLoopJoin" in p and k not in bnlj_allowed:
+            bnlj_new.append(k)
+    assert not offenders, f"cartesian products: {offenders}"
+    assert not bnlj_new, f"unexpected nested-loop joins: {bnlj_new}"
