@@ -39,6 +39,11 @@ class TableIO:
                 "use backend='parquet' (identical schemas) or add "
                 "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages"
             )
+        if backend == "iceberg" and ("/" in root or "\\" in root):
+            raise ValueError(
+                f"iceberg backend takes a catalog[.namespace] prefix as root, "
+                f"not a filesystem path: {root!r} (e.g. 'crawl_catalog.prod')"
+            )
         self.spark = spark
         self.root = root
         self.backend = backend
@@ -121,13 +126,19 @@ def parse_sitemap(raw: DataFrame) -> DataFrame:
     )
     url = F.trim(F.regexp_extract(F.col("blk"), r"<loc>\s*([^<]+?)\s*</loc>", 1))
     lastmod = F.regexp_extract(F.col("blk"), r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1)
+    # full W3C datetime precision (time-of-day matters for same-day refetch
+    # decisions), via try_to_timestamp so one malformed value cannot abort
+    # the job under ANSI mode; unparseable -> null (treated as unknown)
+    ts = F.coalesce(
+        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd")),
+    )
     return (
         blocks.select(
             "host",
             url.alias("url"),
-            F.when(lastmod == "", None)
-            .otherwise(F.to_timestamp(F.substring(lastmod, 1, 10), "yyyy-MM-dd"))
-            .alias("lastmod"),
+            F.when(lastmod == "", None).otherwise(ts).alias("lastmod"),
         )
         .filter(F.col("url") != "")
     )

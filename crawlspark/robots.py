@@ -40,12 +40,16 @@ def parse_rules(raw: DataFrame) -> DataFrame:
     apply to `*` are kept; comments (#) and blank lines ignored; directive
     names case-insensitive.
 
-    Pure native pipeline: posexplode the lines, fill the current user-agent
-    FORWARD with last(ignorenulls) over the line-number window (the
-    sequential grouping a hand parser would do with a loop variable), then
-    one aggregation per host.  The result is the tiny broadcast dimension
-    `annotate` consumes — parsing cost is one pass over a per-host-bounded
-    body at any scale."""
+    Pure native pipeline: posexplode the lines, number the user-agent
+    GROUPS with a window cumsum over group-start markers (RFC 9309 §2.1:
+    consecutive User-agent lines form ONE group and every rule below
+    applies to ALL of them — a single forward-filled "current agent" would
+    wrongly drop rules from stacked-UA groups where '*' is not last), keep
+    the groups containing '*', then one aggregation per host.  Crawl-delay
+    values are try_cast BEFORE the min (ANSI mode: a plain cast of a
+    malformed value like '1.5s' would abort the whole job; and a string
+    min would pick '10' over '2').  The result is the tiny broadcast
+    dimension `annotate` consumes."""
     from pyspark.sql import Window
 
     lines = raw.select(
@@ -60,16 +64,34 @@ def parse_rules(raw: DataFrame) -> DataFrame:
     parsed = lines.select(
         "host", "ln", key.alias("key"), val.alias("value")
     ).filter(F.col("key").isin("user-agent", "disallow", "crawl-delay"))
-    w = Window.partitionBy("host").orderBy("ln").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    wln = Window.partitionBy("host").orderBy("ln")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    group_start = (
+        is_ua
+        * F.when(
+            F.coalesce(F.lag("key").over(wln), F.lit("")) != "user-agent", 1
+        ).otherwise(0)
     )
-    cur = parsed.withColumn(
-        "agent",
-        F.last(
-            F.when(F.col("key") == "user-agent", F.lower(F.col("value"))),
-            ignorenulls=True,
-        ).over(w),
-    ).filter(F.col("agent") == "*")
+    grouped = parsed.withColumn(
+        "grp",
+        F.sum(group_start).over(
+            wln.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wgrp = Window.partitionBy("host", "grp")
+    cur = grouped.withColumn(
+        "star",
+        F.max(
+            ((F.col("key") == "user-agent") & (F.lower(F.col("value")) == "*")).cast(
+                "int"
+            )
+        ).over(wgrp),
+    ).filter((F.col("star") == 1) & (F.col("grp") > 0))
+    delay_s = F.min(
+        F.when(
+            F.col("key") == "crawl-delay", F.col("value").try_cast("double")
+        )
+    )
     return (
         cur.groupBy("host")
         .agg(
@@ -81,8 +103,6 @@ def parse_rules(raw: DataFrame) -> DataFrame:
                     )
                 )
             ).alias("disallow_prefix"),
-            (F.min(F.when(F.col("key") == "crawl-delay", F.col("value"))).cast("double") * 1000)
-            .cast("int")
-            .alias("crawl_delay_ms"),
+            (delay_s * 1000).cast("int").alias("crawl_delay_ms"),
         )
     )

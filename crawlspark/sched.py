@@ -166,9 +166,11 @@ def assign_global_seq(
     bucketing across its passes:
     - pin="none" (default): explicit literal range bounds sampled once
       driver-side (_range_bucket_expr) — every recompute re-buckets
-      identically, so NOTHING is cached or materialized.  Right whenever
-      upstream is a (re)readable table scan: at 10^10 rows re-scanning
-      parquet 3× beats materializing the table once.
+      identically, so NOTHING is cached or materialized.  Costs FOUR
+      upstream executions total (build-time count + bounds sample, then the
+      main subtree and the offsets subtree at materialization).  Right
+      whenever upstream is a (re)readable table scan: at 10^10 rows
+      re-scanning cheap parquet reads beats materializing the table once.
     - pin="local": Spark's own repartitionByRange + spark_partition_id,
       pinned by an eager localCheckpoint (blocks are freed with the frame —
       no session-lifetime cache).  ONE upstream execution total — right when

@@ -30,6 +30,27 @@ class StateStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._recover_compaction()
+
+    def _recover_compaction(self) -> None:
+        """Heal a compaction interrupted between its two directory renames:
+        a leftover '<table>.old' with no '<table>' means the data survived
+        only under the .old name — restore it (losing the table silently
+        would reset politeness clocks and erase crawl history on resume).
+        Leftover '.compacting' temp dirs are incomplete rewrites — drop
+        them.  Called from __init__ and before every compaction."""
+        import shutil
+
+        for entry in list(os.listdir(self.root)):
+            path = os.path.join(self.root, entry)
+            if entry.endswith(".compacting"):
+                shutil.rmtree(path, ignore_errors=True)
+            elif entry.endswith(".old"):
+                base = path[: -len(".old")]
+                if not os.path.isdir(base):
+                    os.rename(path, base)
+                else:
+                    shutil.rmtree(path, ignore_errors=True)
 
     # -- manifests ----------------------------------------------------------
 
@@ -96,6 +117,7 @@ class StateStore:
         Returns the number of parquet files after compaction."""
         import shutil
 
+        self._recover_compaction()
         base = os.path.join(self.root, table)
         if not os.path.isdir(base) or not os.listdir(base):
             return 0

@@ -188,8 +188,7 @@ def test_cuckoo_recrawl_delete_then_refetch(spark, oracle):
         assert n_targets > 0
         assert eng.recrawl(targets) == n_targets
         assert eng.step()  # the re-queued batch is fetched again
-        assert not eng.step() or True  # drain any remainder
-        while eng.step():
+        while eng.step():  # drain any remainder
             pass
         wave1 = eng.store.latest_wave()
         log1 = eng.store.read_deltas("crawl_log", wave1)

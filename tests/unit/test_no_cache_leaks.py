@@ -30,7 +30,15 @@ def test_no_persistent_rdds_after_queries(spark):
     ):
         pq.QUERIES[key](spark, SF).count()
     q.q19_global_order(spark, SF).count()
-    gc.collect()  # localCheckpoint blocks are freed via GC + ContextCleaner
+    # localCheckpoint blocks are freed via GC + the JVM's ASYNC ContextCleaner
+    # thread — poll briefly instead of sampling immediately (on this
+    # steal-heavy host an instant read can race the cleaner and flake)
+    import time
+
+    deadline = time.time() + 30
+    while _n_persistent(spark) > before and time.time() < deadline:
+        gc.collect()
+        time.sleep(1)
     assert _n_persistent(spark) <= before, (
         f"cache leak: {_n_persistent(spark) - before} persistent RDDs left behind"
     )

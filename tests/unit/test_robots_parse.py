@@ -52,3 +52,36 @@ def test_parsed_rules_drive_annotate(spark):
     assert got["https://h1.com/private/x"] is True
     assert got["https://h1.com/public"] is False
     assert got["https://h2.com/everything"] is False  # no * rules for h2
+
+
+def test_parse_rules_stacked_user_agents_share_rules(spark):
+    """RFC 9309 §2.1: consecutive User-agent lines form one group; rules
+    below apply to ALL of them, even when '*' is not the last UA line."""
+    body = "User-agent: *\nUser-agent: googlebot\nDisallow: /private\n"
+    rules = {r["host"]: r for r in robots.parse_rules(
+        spark.createDataFrame([("h.com", body)], "host string, body string")
+    ).collect()}
+    assert list(rules["h.com"]["disallow_prefix"]) == ["/private"]
+
+
+def test_parse_rules_survives_malformed_crawl_delay(spark):
+    """A junk Crawl-delay value must not abort the job (ANSI cast) — it is
+    ignored; and the delay min must be NUMERIC, not lexicographic."""
+    body = (
+        "User-agent: *\nCrawl-delay: abc\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 10\n\n"
+        "User-agent: *\nCrawl-delay: 2\n"
+    )
+    rules = {r["host"]: r for r in robots.parse_rules(
+        spark.createDataFrame([("h.com", body)], "host string, body string")
+    ).collect()}
+    # numeric min(10, 2) = 2 -> 2000 ms (a string min would pick '10')
+    assert rules["h.com"]["crawl_delay_ms"] == 2000
+
+
+def test_parse_rules_ignores_rules_before_any_group(spark):
+    body = "Disallow: /orphan\nUser-agent: *\nDisallow: /real\n"
+    rules = {r["host"]: r for r in robots.parse_rules(
+        spark.createDataFrame([("h.com", body)], "host string, body string")
+    ).collect()}
+    assert list(rules["h.com"]["disallow_prefix"]) == ["/real"]

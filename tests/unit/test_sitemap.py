@@ -24,8 +24,18 @@ def test_parse_sitemap_loc_and_lastmod(spark):
     assert rows == {
         "https://h.com/a": dt.datetime(2024, 3, 1),
         "https://h.com/b": None,  # no lastmod -> null, still a seed
-        "https://h.com/c": dt.datetime(2024, 2, 15),
+        "https://h.com/c": dt.datetime(2024, 2, 15, 10, 0),  # full time kept
     }  # loc-less <url> block dropped
+
+
+def test_sitemap_malformed_lastmod_is_null_not_crash(spark):
+    body = (
+        '<urlset><url><loc>https://h.com/ok</loc>'
+        "<lastmod>March 2024</lastmod></url></urlset>"
+    )
+    raw = spark.createDataFrame([("h.com", body)], "host string, body string")
+    rows = cio.parse_sitemap(raw).collect()
+    assert rows[0]["url"] == "https://h.com/ok" and rows[0]["lastmod"] is None
 
 
 def test_sitemap_lastmod_drives_refetch_selection(spark):

@@ -73,3 +73,38 @@ def test_compact_deltas_preserves_rows_and_reduces_files(spark, tmp_path):
     assert after == before
     # wave pruning still works post-compaction
     assert store.read_deltas("crawl_log", 2).count() == 300
+
+
+def test_compaction_crash_window_is_recovered(spark, tmp_path):
+    """A kill between compaction's two renames leaves the data only under
+    '<table>.old'; re-opening the store must restore it instead of silently
+    reporting an empty delta history."""
+    import os
+    import shutil
+
+    from crawlspark.state import StateStore
+
+    root = str(tmp_path / "state")
+    store = StateStore(spark, root)
+    for wave in range(3):
+        store.write_delta(
+            spark.range(wave * 10, wave * 10 + 10).select(F.col("id").alias("url_h")),
+            "crawl_log",
+            wave,
+        )
+        store.commit(wave, {"config": {}})
+    before = store.read_deltas("crawl_log", 2).count()
+
+    # simulate the crash window: base renamed away, tmp dir half-written
+    os.rename(os.path.join(root, "crawl_log"), os.path.join(root, "crawl_log.old"))
+    os.makedirs(os.path.join(root, "crawl_log.compacting"))
+
+    healed = StateStore(spark, root)
+    assert healed.read_deltas("crawl_log", 2).count() == before
+    assert not os.path.exists(os.path.join(root, "crawl_log.compacting"))
+    # and a completed-swap leftover (.old beside a live base) is dropped
+    shutil.copytree(
+        os.path.join(root, "crawl_log"), os.path.join(root, "crawl_log.old")
+    )
+    StateStore(spark, root)
+    assert not os.path.exists(os.path.join(root, "crawl_log.old"))
