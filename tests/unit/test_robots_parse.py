@@ -85,3 +85,20 @@ def test_parse_rules_ignores_rules_before_any_group(spark):
         spark.createDataFrame([("h.com", body)], "host string, body string")
     ).collect()}
     assert list(rules["h.com"]["disallow_prefix"]) == ["/real"]
+
+
+def test_parse_rules_degenerate_bodies(spark):
+    """Empty bodies, comment-only bodies, and a UA group with no rules all
+    parse without error and yield sane rows (or none)."""
+    raw = spark.createDataFrame(
+        [
+            ("empty.com", ""),
+            ("comments.com", "# nothing here\n\n# still nothing"),
+            ("bare.com", "User-agent: *\n"),
+        ],
+        "host string, body string",
+    )
+    rules = {r["host"]: r for r in robots.parse_rules(raw).collect()}
+    assert "empty.com" not in rules and "comments.com" not in rules
+    assert list(rules["bare.com"]["disallow_prefix"]) == []
+    assert rules["bare.com"]["crawl_delay_ms"] is None
