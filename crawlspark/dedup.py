@@ -103,10 +103,23 @@ def jaccard_pairs(
     # join shuffle, and the stop-shingle cut falls out of the same pass.
     # (The nested transform/slice is bounded by max_df elements — the
     # interpreted-HOF rule allows cheap bounded lambdas.)
+    #
+    # HOT-SHINGLE SAFETY: the max_df cut must run BEFORE any doc list is
+    # collected.  A viral boilerplate shingle ("all rights reserved …")
+    # appears in 10⁸⁺ docs at web scale; filtering on size(collect_set(...))
+    # would materialize that full doc list in a single aggregation-buffer row
+    # (multi-GB, un-spillable) before dropping it.  Instead the shingle df is
+    # a window count on the SAME hash(sh) exchange the aggregation needs —
+    # WindowExec buffers rows through a spillable external sorter, and the
+    # collect_set buffer then never holds more than max_df entries.  Same
+    # single-pass shape: 1 scan, 3 exchanges (doc_id window, sh window+agg,
+    # pair agg), 0 joins — plan-asserted in tests/unit/test_plans.py.
+    df_sh = F.count("*").over(Window.partitionBy("sh"))
     doclists = (
-        shsz.groupBy("sh")
+        shsz.withColumn("df_sh", df_sh)
+        .filter(F.col("df_sh") <= max_df)
+        .groupBy("sh")
         .agg(F.collect_set(F.struct("doc_id", "n_sh")).alias("ds"))
-        .filter(F.size("ds") <= max_df)
         .select(F.array_sort("ds").alias("ds"))
     )
     pair_arr = F.flatten(
@@ -162,13 +175,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n_perm: int = N_PE
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_perm: int = N_PERM, bands: int = 16
+    sigs: DataFrame, n_perm: int = N_PERM, bands: int = 16, max_bucket: int = 1000
 ) -> DataFrame:
     """Band the signature (r = n_perm/bands rows per band), bucket-join docs
-    sharing any band hash: (doc_a, doc_b, n_bands_shared, est_jaccard).
+    sharing any band hash: (doc_a, doc_b, est_jaccard).
 
     est_jaccard = fraction of matching signature positions (the standard
-    unbiased MinHash estimate)."""
+    unbiased MinHash estimate).
+
+    OPERATOR CONTRACT — run exact dedup first.  A bucket of ``m`` docs emits
+    C(m,2) candidate pairs; 10⁶ byte-identical copies of one viral page share
+    every band hash and would emit ~5·10¹¹ pairs from a single bucket.
+    Buckets larger than ``max_bucket`` are dropped BEFORE the self-join (a
+    window count on the same (band, bh) exchange the join's left side makes).
+    Exact duplicates must therefore be collapsed upstream (dedup.exact_groups
+    — q42 does this); among genuine near-dups a >max_bucket bucket is
+    astronomically unlikely for r ≥ 4 band bits, so recall is unaffected."""
     r = n_perm // bands
     band_hash = F.array(
         *[
@@ -180,7 +202,9 @@ def lsh_candidate_pairs(
     # recompute the (expensive) signature aggregation once per band
     exploded = sigs.select(
         "doc_id", F.posexplode(band_hash).alias("band", "bh")
-    )
+    ).withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).filter(F.col("bucket_n") <= max_bucket)
     a = exploded.select(F.col("doc_id").alias("doc_a"), "bh", "band")
     b_ = exploded.select(F.col("doc_id").alias("doc_b"), "bh", "band")
     cand = (
@@ -243,11 +267,19 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_pairs(sh: DataFrame, max_hamming: int = 6, bands: int = 4) -> DataFrame:
+def simhash_pairs(
+    sh: DataFrame, max_hamming: int = 6, bands: int = 4, max_bucket: int = 1000
+) -> DataFrame:
     """Near-dup pairs by Hamming distance: band the 64-bit fingerprint into
     ``bands`` 16-bit chunks; any pair within max_hamming < bands must share
     at least one exact chunk (pigeonhole) -> equi join per chunk, then exact
-    bit_count(xor) filter."""
+    bit_count(xor) filter.
+
+    OPERATOR CONTRACT — run exact dedup first (see lsh_candidate_pairs):
+    identical docs share all chunks, so a viral page's copies form one
+    quadratic bucket.  (band, chunk) buckets above ``max_bucket`` are dropped
+    before the self-join via a window count on the join's own exchange; with
+    16-bit chunks a genuine near-dup bucket that large is vanishingly rare."""
     width = 64 // bands
     mask = (1 << width) - 1
     chunk_arr = F.array(
@@ -259,7 +291,9 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 6, bands: int = 4) -> DataFr
     # single posexplode pass (see lsh_candidate_pairs for rationale)
     exploded = sh.select(
         "doc_id", F.col("simhash"), F.posexplode(chunk_arr).alias("band", "chunk")
-    )
+    ).withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "chunk"))
+    ).filter(F.col("bucket_n") <= max_bucket)
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
     )
@@ -482,7 +516,11 @@ def minhash_signatures_delta(
 
 
 def lsh_pairs_touching(
-    sigs: DataFrame, delta_ids: DataFrame, n_perm: int = N_PERM, bands: int = 16
+    sigs: DataFrame,
+    delta_ids: DataFrame,
+    n_perm: int = N_PERM,
+    bands: int = 16,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH candidate pairs RESTRICTED to pairs with at least one side in
     ``delta_ids`` (doc_id) — the incremental twin of lsh_candidate_pairs.
@@ -497,7 +535,13 @@ def lsh_pairs_touching(
             for b in range(bands)
         ]
     )
-    exploded = sigs.select("doc_id", F.posexplode(band_hash).alias("band", "bh"))
+    # bucket cap counted over the FULL corpus side (not the delta) so the
+    # result stays bit-equal to the capped full recompute (equality-tested)
+    exploded = sigs.select(
+        "doc_id", F.posexplode(band_hash).alias("band", "bh")
+    ).withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     d = exploded.join(delta_ids.select("doc_id"), "doc_id", "left_semi")
     a = d.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b_ = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bh")

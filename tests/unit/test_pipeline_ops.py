@@ -458,3 +458,104 @@ def test_packing_and_flatten_partition_invariant(spark, docs):
         ).collect()
     }
     assert f1 == f2
+
+
+# ------------------------------------------------- hot-key degenerate inputs
+
+
+def test_jaccard_hot_shingle_never_collected(spark):
+    """Synthetic skew: one boilerplate shingle shared by 10^4 docs (df >>
+    max_df).  The stop-shingle cut must run BEFORE collect_set — the viral
+    shingle contributes no pairs, docs stay pairable via their rare
+    shingles, and the job completes without a quadratic bucket."""
+    n = 10_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # every doc shares 'all rights reserved'; each doc also carries a
+        # unique trigram pair so near-dup pairs exist only where planted
+        F.concat(
+            F.lit("all rights reserved unique"),
+            F.col("id").cast("string"),
+            F.lit(" token"),
+            F.col("id").cast("string"),
+            F.lit(" tail"),
+        ).alias("text"),
+    )
+    # plant one true near-dup pair: doc n and doc n+1 share doc 0's text
+    twin = spark.range(2).select(
+        (F.col("id") + n).alias("doc_id"),
+        F.lit("all rights reserved unique0 token0 tail x y z").alias("text"),
+    )
+    pairs = dedup.jaccard_pairs(
+        base.unionByName(twin), n=3, max_df=20, threshold=0.3
+    ).toPandas()
+    # the planted twins pair with each other (and possibly doc 0), but no
+    # viral-shingle cross-product materializes
+    assert len(pairs) <= 10
+    assert {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)} >= {
+        (n, n + 1)
+    }
+
+
+def test_lsh_degenerate_bucket_capped(spark):
+    """10^3 byte-identical docs share every band hash.  With the bucket cap
+    the self-join must not expand the C(1000,2) pair grid; genuinely
+    near-dup (non-identical) docs below the cap still pair."""
+    clones = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same viral page body repeated verbatim everywhere").alias("text"),
+    )
+    near = spark.range(2).select(
+        (F.col("id") + 5000).alias("doc_id"),
+        F.concat(
+            F.lit("a distinctive document about spark batch vectors "),
+            F.when(F.col("id") == 0, F.lit("alpha")).otherwise(F.lit("alpha extra")),
+        ).alias("text"),
+    )
+    sigs = dedup.minhash_signatures(clones.unionByName(near)).localCheckpoint()
+    out = dedup.lsh_candidate_pairs(sigs, max_bucket=100).toPandas()
+    got = set(zip(out.doc_a, out.doc_b))
+    assert (5000, 5001) in got           # real near-dups survive the cap
+    assert all(a >= 5000 for a, _ in got)  # viral bucket emitted nothing
+
+
+def test_simhash_degenerate_bucket_capped(spark):
+    """Same contract for SimHash banding: identical docs form one giant
+    (band, chunk) bucket that must be dropped, not expanded."""
+    clones = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same viral page body repeated verbatim everywhere").alias("text"),
+    )
+    near = spark.range(2).select(
+        (F.col("id") + 5000).alias("doc_id"),
+        F.concat(
+            F.lit(
+                "a distinctive long document about spark batch vectors and "
+                "streams with many shared words that dominate the simhash "
+                "fingerprint across every bit position "
+            ),
+            F.when(F.col("id") == 0, F.lit("alpha")).otherwise(F.lit("beta")),
+        ).alias("text"),
+    )
+    sh = dedup.simhash(clones.unionByName(near))
+    out = dedup.simhash_pairs(sh, max_hamming=16, max_bucket=100).toPandas()
+    got = set(zip(out.doc_a, out.doc_b))
+    assert (5000, 5001) in got
+    assert all(a >= 5000 for a, _ in got)
+
+
+def test_lsh_incremental_matches_capped_full_recompute(spark, docs):
+    """The delta-restricted LSH twin must equal the capped full recompute
+    filtered to delta-touching pairs — with the cap applied on the full
+    corpus side in both."""
+    sigs = dedup.minhash_signatures(docs).localCheckpoint()
+    delta = docs.select("doc_id").filter(F.col("doc_id") % 3 == 0)
+    full = dedup.lsh_candidate_pairs(sigs, max_bucket=50).toPandas()
+    inc = dedup.lsh_pairs_touching(sigs, delta, max_bucket=50).toPandas()
+    dset = {int(r) for r in delta.toPandas().doc_id}
+    expect = {
+        (a, b)
+        for a, b in zip(full.doc_a, full.doc_b)
+        if a in dset or b in dset
+    }
+    assert set(zip(inc.doc_a, inc.doc_b)) == expect

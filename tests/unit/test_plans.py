@@ -193,3 +193,30 @@ def test_no_query_plans_a_cartesian_product(spark):
             bnlj_new.append(k)
     assert not offenders, f"cartesian products: {offenders}"
     assert not bnlj_new, f"unexpected nested-loop joins: {bnlj_new}"
+
+
+def test_jaccard_hot_shingle_cut_precedes_collect(spark):
+    """The max_df stop-shingle Filter must sit UPSTREAM of the collect_set
+    aggregation (lower node number in formatted explain = closer to the
+    leaf), so a viral shingle's doc list is never materialized in an
+    aggregation buffer; and the single-pass shape must survive: 1 scan,
+    3 exchanges, 0 joins."""
+    import re
+
+    from crawlspark import pipeline_queries as pq
+
+    p = plan_of(pq.QUERIES["q31_jaccard_shingles"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 3
+    assert "Join" not in p
+    agg_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) ObjectHashAggregate", p, re.M)
+    ]
+    filt_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) Filter", p, re.M)
+    ]
+    assert agg_ids, "collect_set aggregate missing from plan"
+    # at least one Filter strictly before (leaf-ward of) every collect_set
+    assert any(f < min(agg_ids) for f in filt_ids)
