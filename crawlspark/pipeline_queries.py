@@ -547,6 +547,65 @@ QUERIES = {
     "q67_mixture_rebalance": q67_mixture_rebalance,
 }
 
+def _ivf_oracle_sql(
+    n_rounds: int = 2, n_cells: int = 16, dim: int = 64, nprobe: int = 4, k: int = 5
+) -> str:
+    """DuckDB mirror of simsearch.ivf_topk with a TRAINED codebook: unrolls
+    the same Lloyd's rounds as CTEs.  Centroid means use the identical
+    fixed-point arithmetic (floor(x*1e6) BIGINT sums, then double division)
+    as train_ivf_centroids, so the trained centroids are bit-equal on both
+    sides; cosine-ordering parity (list_cosine_similarity vs the Spark HOF
+    dot/norms) is the same contract the untrained q57 already hash-passed."""
+    sums = ", ".join(
+        f"CAST(sum(CAST(floor(v.v[{i + 1}] * 1000000.0) AS BIGINT)) AS BIGINT)"
+        f" AS s{i}"
+        for i in range(dim)
+    )
+    means = ", ".join(
+        f"CAST(s.s{i} AS DOUBLE) / CAST(s.n AS DOUBLE) / 1000000.0"
+        for i in range(dim)
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), ",
+        "cent0 AS (SELECT vec_id AS cid, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv "
+        f"FROM embeddings WHERE vec_id >= 8 AND vec_id < {8 + n_cells}), ",
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f"asg{r} AS (SELECT vid, cid FROM ("
+            "SELECT v.vid, c.cid, row_number() OVER (PARTITION BY v.vid "
+            "ORDER BY list_cosine_similarity(v.v, c.cv) DESC, c.cid) AS rc "
+            f"FROM v, cent{r} c) WHERE rc = 1), "
+            f"sums{r} AS (SELECT cid, count(*) AS n, {sums} "
+            f"FROM asg{r} JOIN v USING (vid) GROUP BY cid), "
+            f"cent{r + 1} AS (SELECT c.cid, "
+            f"CASE WHEN s.n IS NULL THEN c.cv ELSE [{means}] END AS cv "
+            f"FROM cent{r} c LEFT JOIN sums{r} s USING (cid)), "
+        )
+    fin = f"cent{n_rounds}"
+    parts.append(
+        "asg AS (SELECT vid, cid FROM ("
+        "SELECT v.vid, c.cid, row_number() OVER (PARTITION BY v.vid "
+        "ORDER BY list_cosine_similarity(v.v, c.cv) DESC, c.cid) AS rc "
+        f"FROM v, {fin} c) WHERE rc = 1), "
+        "q AS (SELECT vid AS q_vec_id, v AS qv FROM v WHERE vid < 8), "
+        "probe AS (SELECT q_vec_id, cid FROM ("
+        "SELECT q_vec_id, c.cid, row_number() OVER (PARTITION BY q_vec_id "
+        "ORDER BY list_cosine_similarity(qv, c.cv) DESC, c.cid) AS rc "
+        f"FROM q, {fin} c) WHERE rc <= {nprobe}), "
+        "ranked AS (SELECT c.q_vec_id, c.vid, "
+        "row_number() OVER (PARTITION BY c.q_vec_id "
+        "ORDER BY list_cosine_similarity(q.qv, v.v) DESC, c.vid) AS rk FROM "
+        "(SELECT p.q_vec_id, a.vid FROM probe p JOIN asg a ON a.cid = p.cid "
+        "WHERE a.vid <> p.q_vec_id) c "
+        "JOIN q ON q.q_vec_id = c.q_vec_id JOIN v ON v.vid = c.vid) "
+        f"SELECT q_vec_id, vid AS neighbor_id, rk FROM ranked WHERE rk <= {k}"
+    )
+    return "".join(parts)
+
+
 _SHINGLE_CTE = """
 WITH w AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM documents
@@ -780,29 +839,7 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         ") SELECT g.label, g.n_members, r.keeper_id, r.best_quality "
         "FROM g JOIN r ON g.label = r.label AND r.rk = 1"
     ),
-    "q57_ann_ivf": (
-        "WITH cent AS (SELECT vec_id AS cid, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv "
-        "FROM embeddings WHERE vec_id >= 8 AND vec_id < 24), "
-        "v AS (SELECT vec_id AS vid, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
-        "asg AS (SELECT vid, cid FROM ("
-        "SELECT vid, cid, row_number() OVER (PARTITION BY vid "
-        "ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rc FROM v, cent) "
-        "WHERE rc = 1), "
-        "q AS (SELECT vid AS q_vec_id, v AS qv FROM v WHERE vid < 8), "
-        "probe AS (SELECT q_vec_id, cid FROM ("
-        "SELECT q_vec_id, cid, row_number() OVER (PARTITION BY q_vec_id "
-        "ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS rc FROM q, cent) "
-        "WHERE rc <= 4), "
-        "ranked AS (SELECT c.q_vec_id, c.vid, "
-        "row_number() OVER (PARTITION BY c.q_vec_id "
-        "ORDER BY list_cosine_similarity(q.qv, v.v) DESC, c.vid) AS rk FROM "
-        "(SELECT p.q_vec_id, a.vid FROM probe p JOIN asg a ON a.cid = p.cid "
-        "WHERE a.vid <> p.q_vec_id) c "
-        "JOIN q ON q.q_vec_id = c.q_vec_id JOIN v ON v.vid = c.vid) "
-        "SELECT q_vec_id, vid AS neighbor_id, rk FROM ranked WHERE rk <= 5"
-    ),
+    "q57_ann_ivf": _ivf_oracle_sql(),
     "q58_frame_sample": (
         "WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2), "
         "f AS (SELECT doc_id, text, "

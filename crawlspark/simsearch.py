@@ -268,6 +268,142 @@ def topk_lsh(
 
 # ------------------------------------------------------------- IVF coarse index
 
+# Fixed-point scale for Lloyd's centroid means: component sums are exact
+# integer arithmetic (order-independent — a float sum would depend on the
+# nondeterministic partial-aggregate merge order), so trained centroids are
+# bit-identical across runs, partitionings, AND the DuckDB oracle.  At 1e6
+# scale a 64-bit sum holds ~9e11 rows per cell before overflow.
+_FP_SCALE = 1_000_000.0
+
+
+def _seed_centroids(d: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic k-means init: the corpus vectors with ids
+    [8, 8+n_cells) — reproducible and SQL-mirrorable, standing in for a
+    random-restart init."""
+    return d.filter((F.col("vid") >= 8) & (F.col("vid") < 8 + n_cells)).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_rounds: int = 2,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "arrow",
+) -> DataFrame:
+    """Lloyd's k-means coarse codebook.  Returns (cid, cv: array<double>).
+
+    Each round assigns every vector to its nearest (cosine) centroid and
+    replaces each centroid with its cell mean.  The default round runs
+    entirely inside ONE mapInPandas pass: a numpy matmul argmax plus
+    per-cell fixed-point partial sums per Arrow batch, reduced by a tiny
+    groupBy(cid) over n_batches × n_cells rows — no per-element interpreted
+    HOF work, no corpus shuffle.  ``assign="hof"`` is the declarative
+    struct-argmax reference (oracle-parity form, ~10× slower — HOF lambdas
+    are interpreted per element); both paths are equality-tested to produce
+    bit-identical centroids.
+
+    Determinism contract: init is seeded (ids [8, 8+n_cells)); means use
+    exact integer sums at ``_FP_SCALE`` (order-independent, unlike float
+    sums) so results are bit-identical across runs, partitionings, batch
+    sizes, and the q57 DuckDB mirror (which unrolls the same rounds as
+    CTEs).  Empty cells keep their previous centroid.
+
+    Scale shape: one corpus scan per round, map-side reduction to
+    n_cells·(dim+1) longs per batch, centroids localCheckpointed between
+    rounds (n_cells rows).  At 100 TB a codebook is trained on a sample
+    (emb.sample(...)); pass the sample here, the full frame to
+    ivf_topk/ivf_assign_arrow."""
+    import pandas as pd
+
+    d = emb.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", _norm(F.col("v")))
+    cents = _seed_centroids(d, n_cells)
+    part_schema = T.StructType(
+        [
+            T.StructField("cid", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.LongType())),
+        ]
+    )
+    for _ in range(n_rounds):
+        if assign == "arrow":
+            c_rows = sorted(
+                (int(r["cid"]), list(r["cv"])) for r in cents.collect()
+            )
+            c_ids = np.array([c for c, _ in c_rows], dtype=np.int64)
+            C = np.array([v for _, v in c_rows], dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+            def fn(batches, c_ids=c_ids, Cn=Cn):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    V = np.array(list(pdf[vec_col]), dtype=np.float64)
+                    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                    best = (Vn @ Cn.T).argmax(axis=1)  # ties -> lowest cid
+                    Vs = np.floor(V * _FP_SCALE).astype(np.int64)
+                    rows = []
+                    for ci in range(len(c_ids)):
+                        m = best == ci
+                        nc = int(m.sum())
+                        if nc:
+                            rows.append(
+                                (int(c_ids[ci]), nc, Vs[m].sum(axis=0).tolist())
+                            )
+                    yield pd.DataFrame(rows, columns=["cid", "n", "s"])
+
+            part = emb.select(vec_col).mapInPandas(fn, part_schema)
+            sums = part.groupBy("cid").agg(
+                F.sum("n").alias("n"),
+                *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+        else:
+            cent = cents.withColumn("cn", _norm(F.col("cv")))
+            ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+            best = (
+                d.crossJoin(F.broadcast(cent))
+                .withColumn("ccos", ccos)
+                .groupBy("vid")
+                .agg(
+                    F.max(
+                        F.struct(F.col("ccos"), (-F.col("cid")).alias("nc"))
+                    ).alias("b"),
+                    F.first("v").alias("v"),  # all copies identical per vid
+                )
+                .select((-F.col("b.nc")).alias("cid"), "v")
+            )
+            sums = best.groupBy("cid").agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.floor(F.col("v")[i] * F.lit(_FP_SCALE))).alias(
+                        f"s{i}"
+                    )
+                    for i in range(dim)
+                ],
+            )
+        newcv = F.array(
+            *[
+                (F.col(f"s{i}") / F.col("n") / F.lit(_FP_SCALE))
+                for i in range(dim)
+            ]
+        )
+        cents = (
+            cents.join(sums, "cid", "left")
+            .select(
+                "cid",
+                F.when(F.col("n").isNull(), F.col("cv"))
+                .otherwise(newcv)
+                .alias("cv"),
+            )
+            .localCheckpoint()  # n_cells rows; breaks the per-round lineage
+        )
+    return cents
+
 
 def ivf_topk(
     emb: DataFrame,
@@ -275,41 +411,46 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    n_rounds: int = 2,
+    assign: str = "arrow",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-style approximate top-k (inverted-file coarse quantizer, cf.
     Jégou et al. TPAMI'11): every corpus vector is assigned to its nearest
-    of ``n_cells`` centroids; a query probes its ``nprobe`` nearest cells and
-    exact-reranks only the vectors assigned there.
+    of ``n_cells`` trained centroids; a query probes its ``nprobe`` nearest
+    cells and exact-reranks only the vectors assigned there.
 
-    Centroids are DETERMINISTIC — the corpus vectors with ids
-    [8, 8+n_cells) (a seeded coarse codebook stand-in for k-means, which
-    would train the same shape) — so the whole index is reproducible and
-    SQL-mirrorable (q57's DuckDB oracle hash-checks assignment, probe, and
-    rerank end-to-end, unlike the rows-only LSH path).
+    The codebook is trained with ``n_rounds`` Lloyd's iterations from a
+    seeded deterministic init (train_ivf_centroids) — reproducible and
+    SQL-mirrorable end-to-end (q57's DuckDB oracle unrolls the same training
+    rounds and hash-checks assignment, probe, and rerank, unlike the
+    rows-only LSH path).  ``n_rounds=0`` reproduces the raw seeded codebook.
 
-    Scale shape: assignment is a broadcast of n_cells centroids + ONE
-    struct-argmax aggregation (map-side combined, no window over the corpus);
-    the candidate step is an equi join on cell id — corpus cost per query
-    drops from O(N) to O(N * nprobe / n_cells).  The per-vector dot products
-    here are the same sequential-sum HOF expressions as topk_bruteforce (the
-    oracle-parity form); the q44 mapInPandas matmul idiom is the drop-in
-    Arrow fast path for the assignment pass at production scale."""
+    Scale shape: corpus assignment defaults to the Arrow path
+    (``assign="arrow"`` — one numpy matmul per batch, see ivf_assign_arrow;
+    equality-tested against the HOF struct-argmax form, which remains
+    available as ``assign="hof"``, the oracle-parity reference).  The
+    candidate step is an equi join on cell id — corpus cost per query drops
+    from O(N) to O(N * nprobe / n_cells)."""
     d = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("norm", _norm(F.col("v")))
-    cent = d.filter((F.col("vid") >= 8) & (F.col("vid") < 8 + n_cells)).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
-    )
-    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
-    asg = (
-        d.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", ccos)
-        .groupBy("vid")
-        .agg(F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("nc"))).alias("b"))
-        .select("vid", (-F.col("b.nc")).alias("cid"))
-    )
+    cents = train_ivf_centroids(emb, n_cells, n_rounds, DIM, id_col, vec_col)
+    cent = cents.withColumn("cn", _norm(F.col("cv")))
+    if assign == "arrow":
+        asg = ivf_assign_arrow(emb, n_cells, id_col, vec_col, centroids=cents)
+    else:
+        ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+        asg = (
+            d.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", ccos)
+            .groupBy("vid")
+            .agg(
+                F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("nc"))).alias("b")
+            )
+            .select("vid", (-F.col("b.nc")).alias("cid"))
+        )
     q = d.filter(
         F.col("vid").isin(query_ids) if query_ids else F.col("vid") < 8
     ).select(
@@ -346,19 +487,29 @@ def ivf_assign_arrow(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Arrow fast path for the IVF assignment pass: centroids are collected
     once (n_cells rows, small by construction) and broadcast into a
     mapInPandas stage that computes all cell cosines with ONE numpy matmul
     per batch and takes the argmax (ties -> lowest cid, matching the
-    struct-argmax ordering).  Returns (vid, cid) — the drop-in replacement
-    for ivf_topk's HOF assignment at production scale (same pattern as
-    topk_bruteforce_arrow vs topk_bruteforce; equality-tested)."""
-    c_rows = (
-        emb.filter((F.col(id_col) >= 8) & (F.col(id_col) < 8 + n_cells))
-        .select(id_col, vec_col)
-        .collect()
-    )
+    struct-argmax ordering).  Returns (vid, cid) — ivf_topk's default
+    assignment path (same pattern as topk_bruteforce_arrow vs
+    topk_bruteforce; equality-tested against the HOF form).
+
+    ``centroids``: optional (cid, cv) frame — a trained codebook from
+    train_ivf_centroids; defaults to the raw seeded centroids."""
+    if centroids is not None:
+        c_rows = [(r["cid"], r["cv"]) for r in centroids.select("cid", "cv").collect()]
+    else:
+        c_rows = [
+            (r[0], r[1])
+            for r in emb.filter(
+                (F.col(id_col) >= 8) & (F.col(id_col) < 8 + n_cells)
+            )
+            .select(id_col, vec_col)
+            .collect()
+        ]
     c_ids = np.array([r[0] for r in c_rows], dtype=np.int64)
     order = np.argsort(c_ids)
     c_ids = c_ids[order]

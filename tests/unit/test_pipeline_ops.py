@@ -241,9 +241,19 @@ def test_ann_ivf_recall_vs_bruteforce(spark, emb):
         for r in simsearch.ivf_topk(emb, k=5).collect()
     }
     recall = len(truth & got) / len(truth)
-    # 4/16 probed cells over isotropic vectors: the coarse index must keep a
-    # usable fraction of the true neighbors while scanning ~1/4 of the corpus
-    assert recall >= 0.4, f"IVF recall {recall:.2f} < 0.4"
+    # 4/16 probed cells over isotropic vectors: the trained coarse index must
+    # keep a usable fraction of the true neighbors scanning ~1/4 of the
+    # corpus (everything is seeded — these numbers are deterministic:
+    # 0.55 trained vs 0.525 untrained at this config)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} < 0.5"
+    # at 6/16 cells the trained codebook clears 0.6 (0.675 measured;
+    # untrained is 0.575) — the Lloyd's rounds must keep paying for recall
+    got6 = {
+        (r["q_vec_id"], r["neighbor_id"])
+        for r in simsearch.ivf_topk(emb, k=5, nprobe=6).collect()
+    }
+    recall6 = len(truth & got6) / len(truth)
+    assert recall6 >= 0.6, f"IVF recall@nprobe=6 {recall6:.2f} < 0.6"
 
 
 def test_pack_sequences_matches_python_reference(spark):
@@ -559,3 +569,49 @@ def test_lsh_incremental_matches_capped_full_recompute(spark, docs):
         if a in dset or b in dset
     }
     assert set(zip(inc.doc_a, inc.doc_b)) == expect
+
+
+def test_ivf_topk_arrow_equals_hof_with_trained_codebook(spark, emb):
+    """ivf_topk's default Arrow assignment must reproduce the HOF
+    (oracle-parity) path end-to-end on the TRAINED codebook — this is the
+    wiring q57 ships with."""
+    arrow = {
+        (r["q_vec_id"], r["neighbor_id"], r["rk"])
+        for r in simsearch.ivf_topk(emb, k=5, assign="arrow").collect()
+    }
+    hof = {
+        (r["q_vec_id"], r["neighbor_id"], r["rk"])
+        for r in simsearch.ivf_topk(emb, k=5, assign="hof").collect()
+    }
+    assert arrow == hof
+
+
+def test_train_ivf_centroids_partition_invariant(spark, emb):
+    """Fixed-point means make trained centroids bit-identical regardless of
+    input partitioning (a float sum would drift with partial-agg merge
+    order)."""
+    a = {
+        r["cid"]: tuple(r["cv"])
+        for r in simsearch.train_ivf_centroids(emb).collect()
+    }
+    b = {
+        r["cid"]: tuple(r["cv"])
+        for r in simsearch.train_ivf_centroids(emb.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_train_ivf_centroids_arrow_equals_hof(spark, emb):
+    """The Arrow (mapInPandas matmul + per-cell fixed-point partial sums)
+    training round must produce bit-identical centroids to the declarative
+    HOF struct-argmax round — same assignment tie-breaking (lowest cid),
+    same exact integer means."""
+    arrow = {
+        r["cid"]: tuple(r["cv"])
+        for r in simsearch.train_ivf_centroids(emb, assign="arrow").collect()
+    }
+    hof = {
+        r["cid"]: tuple(r["cv"])
+        for r in simsearch.train_ivf_centroids(emb, assign="hof").collect()
+    }
+    assert arrow == hof
