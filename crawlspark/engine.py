@@ -16,9 +16,15 @@ fetch order at ANY parallelism — equality vs tests/oracle_ref.py is the
 correctness gate (BASELINE.json:14).
 
 Scale: state round-trips through partitioned parquet each wave (Iceberg
-snapshots in production), so lineage stays one wave deep; the frontier is
-the only full-snapshot table (an Iceberg MERGE in prod); crawl_log/spans/
-seen-deltas are append-only wave partitions.
+snapshots in production), so lineage stays one wave deep; crawl_log/spans/
+seen-deltas are append-only wave partitions.  The frontier itself is
+merge-on-read (frontier_mode="delta", the default): a wave appends only its
+own adds (frontier_add) and removals (the retired log, doubling as an
+equality-delete log), the pending view is reconstructed last-op-wins per
+url_h, and a periodic rebase folds the deltas into a fresh snapshot — the
+Iceberg MERGE + delete-rewrite discipline, so per-wave write cost is
+O(changes), never O(live frontier).  frontier_mode="snapshot" keeps the
+rewrite-everything layout for comparison.
 """
 
 from __future__ import annotations
@@ -63,6 +69,12 @@ class EngineConfig:
     salt_partitions: int = 16  # K1: fetch-stage salting
     salted_topk: bool = True  # G1+G3 fused two-phase rank (skew-proof)
     compact_every: int | None = None  # compact delta tables every N waves
+    # "delta": per-wave frontier changes are append-only deltas merged on
+    # read (Iceberg MERGE emulation; write cost O(changes/wave)); "snapshot":
+    # rewrite the full pending set every wave (the pre-round-3 layout, kept
+    # for comparison — write cost O(live frontier))
+    frontier_mode: str = "delta"
+    frontier_merge_every: int | None = 8  # rebase the pending set every N waves
 
 
 class CrawlEngine:
@@ -94,6 +106,7 @@ class CrawlEngine:
                 "cuckoo_partitions": self.cfg.cuckoo_partitions,
                 "cuckoo_buckets": self.cfg.cuckoo_buckets,
                 "n_hotels": self.cfg.n_hotels,
+                "frontier_mode": self.cfg.frontier_mode,
             }
             for key, val in want.items():
                 if key in frozen and frozen[key] != val:
@@ -130,7 +143,8 @@ class CrawlEngine:
                                          "bloom_k": self.cfg.bloom_k,
                                          "cuckoo_partitions": self.cfg.cuckoo_partitions,
                                          "cuckoo_buckets": self.cfg.cuckoo_buckets,
-                                         "n_hotels": self.cfg.n_hotels}})
+                                         "n_hotels": self.cfg.n_hotels,
+                                         "frontier_mode": self.cfg.frontier_mode}})
         return 0
 
     def _seen_keys(self, upto_wave: int) -> DataFrame:
@@ -141,6 +155,87 @@ class CrawlEngine:
 
     def _crawl_log_raw(self, upto_wave: int) -> DataFrame | None:
         return self.store.read_deltas("crawl_log", upto_wave)
+
+    def _read_pending(self, wave: int) -> DataFrame:
+        """The live (pending) frontier as of committed wave ``wave``.
+
+        frontier_mode="snapshot": one parquet scan of the per-wave rewrite.
+
+        frontier_mode="delta" (default): merge-on-read over the last rebase
+        snapshot R plus the deltas since it — additions from frontier_add
+        (waves R+1..W), removals from the retired log (waves R..W-1; wave K's
+        step retires with wave=K and its additions land at K+1).
+
+        Merge shape: any key that appears in a post-rebase delta strictly
+        supersedes its base row (adds carry wave > R; dels carry wave >= R
+        and out-rank the base at a tie), so the base NEVER enters an
+        aggregation — it is filtered by ONE left-anti join against the
+        (small) changed-key set, which AQE turns into a broadcast anti join:
+        map-only over the live set, exactly how Iceberg applies equality-
+        delete files on read.  Only the changes themselves (bounded by
+        merge_every x per-wave change volume) go through a last-op-wins
+        max_by over (wave, is_del) — a key can go pending -> retired ->
+        pending again (recrawl), and a key added and retired in the same
+        wave resolves to retired via the is_del tie-break.  Deltas older
+        than R are pruned by wave range (the rebase already folded them in),
+        so read cost is O(live set) map-side + O(changes) shuffled, and
+        write cost per wave is O(changes) — the old layout rewrote the full
+        pending set every wave."""
+        if self.cfg.frontier_mode == "snapshot":
+            return self.store.read_snapshot("frontier", wave)
+        base_wave = self.store.latest_snapshot_wave("frontier", wave)
+        assert base_wave is not None, "no committed frontier snapshot"
+        base = self.store.read_snapshot("frontier", base_wave)
+        adds = self.store.read_deltas("frontier_add", wave)
+        dels = self.store.read_deltas("retired", wave - 1) if wave > 0 else None
+        if adds is not None:
+            adds = adds.filter(F.col("wave") > base_wave)
+        if dels is not None:
+            dels = dels.filter(F.col("wave") >= base_wave)
+        if adds is None and dels is None:
+            return base
+        cols = fixtures.FRONTIER_COLS
+        parts = []
+        if adds is not None:
+            parts.append(
+                adds.select(
+                    F.col("wave").cast("long").alias("w"), F.lit(0).alias("is_del"), *cols
+                )
+            )
+        if dels is not None:
+            parts.append(
+                dels.select(
+                    F.col("wave").cast("long").alias("w"), F.lit(1).alias("is_del"), *cols
+                )
+            )
+        changes = parts[0]
+        for p in parts[1:]:
+            changes = changes.unionByName(p)
+        ch_win = changes.groupBy("url_h").agg(
+            F.max_by(
+                F.struct(F.col("is_del").alias("is_del"), *cols),
+                F.struct(F.col("w"), F.col("is_del")),
+            ).alias("r")
+        )
+        survivors = ch_win.filter(F.col("r.is_del") == 0).select(
+            *[F.col(f"r.{c}").alias(c) for c in cols]
+        )
+        return (
+            base.join(ch_win.select("url_h"), "url_h", "left_anti")
+            .select(*cols)
+            .unionByName(survivors)
+        )
+
+    def _merge_frontier(self) -> None:
+        """Rebase: materialize the merge-on-read pending view into a new
+        frontier snapshot at the current wave, so future reads scan one
+        snapshot instead of snapshot+deltas.  Equivalent to Iceberg's
+        rewrite/compaction of equality deletes; crash-safe because a partial
+        write has no _SUCCESS marker and latest_snapshot_wave ignores it."""
+        wave = self.store.latest_wave()
+        if wave is None or self.store.latest_snapshot_wave("frontier", wave) == wave:
+            return
+        self.store.write_snapshot(self._read_pending(wave), "frontier", wave)
 
     def _host_counts(self, wave: int) -> DataFrame | None:
         """Per-host fetched-so-far counts for the token-bucket clock.
@@ -163,14 +258,21 @@ class CrawlEngine:
         cfg = self.cfg
         wave = self.store.latest_wave()
         assert wave is not None, "bootstrap() first"
-        frontier = self.store.read_snapshot("frontier", wave)
-        # snapshot is pending-only by construction; the filter is a cheap
-        # no-op guard for wave-0 bootstrap states written by older layouts
+        wave_caches: list[DataFrame] = []
+        frontier = self._read_pending(wave)
+        if cfg.frontier_mode != "snapshot":
+            # the merged pending view feeds three consumers (drain check,
+            # schedule chain, blocked split) — cache it for the wave so the
+            # anti-join merge runs once, not per consumer
+            frontier = frontier.persist()
+            wave_caches.append(frontier)
+        # the pending view is pending-only by construction; the filter is a
+        # cheap no-op guard for wave-0 bootstrap states of older layouts
         pending = frontier.filter(F.col("state") == "pending")
         if pending.isEmpty():
+            for c in wave_caches:
+                c.unpersist()
             return False
-
-        wave_caches: list[DataFrame] = []
 
         # robots (broadcast) -> blocked split
         ann = robots.annotate(pending, self.robots_rules)
@@ -179,20 +281,31 @@ class CrawlEngine:
 
         # budgets + per-host priority rank + top-k + token-bucket schedule
         cand = polite.attach_budget(cand, self.budgets)
+        # delta frontier mode never materializes the not-scheduled remainder:
+        # unscheduled pending rows simply stay pending (no add, no retire),
+        # so the per-wave write is O(changes).  Snapshot mode must carry them
+        # into the rewritten snapshot explicitly.
+        delta_mode = cfg.frontier_mode != "snapshot"
         if cfg.take_k and cfg.salted_topk:
             # two-phase salted rank: identical result to rank()+take(k), but
             # a hot host never lands in a single window task (sched.G1/G3).
-            # Persisted because the anti-join below and the fetch stage both
-            # consume it — unpersisted without a cache the two-phase ranking
+            # Persisted because the retire/deferral consumers and the fetch
+            # stage all read it — without a cache the two-phase ranking
             # would run twice per wave.
             batch = sched.rank_topk_salted(cand, cfg.take_k).persist()
             wave_caches.append(batch)
-            deferred = cand.join(batch.select("url_h"), "url_h", "left_anti")
+            deferred = (
+                None
+                if delta_mode
+                else cand.join(batch.select("url_h"), "url_h", "left_anti")
+            )
         else:
             ranked = sched.rank(cand)
             batch = sched.take(ranked, cfg.take_k)
             deferred = (
-                ranked.filter(F.col("host_rank") > cfg.take_k) if cfg.take_k else None
+                ranked.filter(F.col("host_rank") > cfg.take_k)
+                if (cfg.take_k and not delta_mode)
+                else None
             )
         prior = self._host_counts(wave)
         batch = polite.schedule(batch, prior)
@@ -246,11 +359,12 @@ class CrawlEngine:
             disc_new = seen.dedup_exact(disc, seen_keys).select(*fixtures.FRONTIER_COLS)
             self.store.write_delta(disc_new.select("url_h"), "seen", wave + 1)
 
-        # frontier update: the snapshot holds ONLY open (pending) rows, so
-        # its size tracks the live frontier, not the crawl's full history —
-        # at 10^10 URLs a rewrite-everything snapshot would grow without
-        # bound.  Retired rows (done/blocked) go to an append-only delta
-        # (one wave's worth each), the same discipline as crawl_log.
+        # frontier update.  Retired rows (done/blocked) go to an append-only
+        # delta (one wave's worth each), the same discipline as crawl_log —
+        # in delta mode that SAME delta doubles as the frontier's equality-
+        # delete log (read side: _read_pending), so the pending set is never
+        # rewritten per wave; at 10^10 URLs a rewrite-everything snapshot
+        # costs O(live frontier) parquet encode+IO every single wave.
         done = batch.select(*[c for c in fixtures.FRONTIER_COLS if c != "state"]).withColumn(
             "state", F.lit("done")
         )
@@ -260,12 +374,13 @@ class CrawlEngine:
         retired = done.select(*fixtures.FRONTIER_COLS).unionByName(
             blk.select(*fixtures.FRONTIER_COLS)
         )
-        parts = [disc_new]
-        if deferred is not None:
-            parts.append(deferred.select(*fixtures.FRONTIER_COLS))
-        new_frontier = parts[0]
-        for p in parts[1:]:
-            new_frontier = new_frontier.unionByName(p)
+        if not delta_mode:
+            parts = [disc_new]
+            if deferred is not None:
+                parts.append(deferred.select(*fixtures.FRONTIER_COLS))
+            new_frontier = parts[0]
+            for p in parts[1:]:
+                new_frontier = new_frontier.unionByName(p)
 
         # roll the per-host fetch counts forward (n_hosts rows, tiny)
         batch_counts = fetched.groupBy("host").agg(F.count("*").alias("n_prior"))
@@ -280,7 +395,12 @@ class CrawlEngine:
         self.store.write_delta(retired, "retired", wave)
         self.store.write_delta(log_new, "crawl_log", wave)
         self.store.write_delta(span_rows, "spans", wave)
-        self.store.write_snapshot(new_frontier, "frontier", wave + 1)
+        if delta_mode:
+            self.store.write_delta(
+                disc_new.select(*fixtures.FRONTIER_COLS), "frontier_add", wave + 1
+            )
+        else:
+            self.store.write_snapshot(new_frontier, "frontier", wave + 1)
         self.store.commit(wave + 1, {"config": {"seen_mode": cfg.seen_mode}})
         fetched.unpersist()
         for c in wave_caches:
@@ -290,14 +410,26 @@ class CrawlEngine:
     def run(self, max_waves: int = 50) -> int:
         wave = self.bootstrap()
         n = 0
+        delta_mode = self.cfg.frontier_mode != "snapshot"
         while n < max_waves and self.step():
             n += 1
+            # periodic frontier rebase (delta mode): fold the add/retire
+            # deltas into a fresh pending snapshot so the merge-on-read view
+            # never accumulates unbounded deltas — Iceberg's periodic
+            # rewrite of equality deletes.  Between rebases a wave writes
+            # only its own changes.
+            if (
+                delta_mode
+                and self.cfg.frontier_merge_every
+                and n % self.cfg.frontier_merge_every == 0
+            ):
+                self._merge_frontier()
             # periodic small-files compaction of the append-only deltas:
             # pure file-layout rewrite (row-identical, wave-pruning intact),
             # so crawl results are unaffected — asserted by the equality
             # suite running a compacting config
             if self.cfg.compact_every and n % self.cfg.compact_every == 0:
-                for t in ("crawl_log", "spans", "retired"):
+                for t in ("crawl_log", "spans", "retired", "frontier_add"):
                     self.store.compact_deltas(t)
         return n
 
@@ -337,10 +469,20 @@ class CrawlEngine:
         requeued, st_new = seen.cuckoo_apply(
             requeue, st_del, self.cfg.cuckoo_partitions, "insert"
         )
-        frontier = self.store.read_snapshot("frontier", wave)
-        new_frontier = frontier.unionByName(requeued.select(*fixtures.FRONTIER_COLS))
         self.store.write_snapshot(st_new, "seen_cuckoo", wave + 1)
-        self.store.write_snapshot(new_frontier, "frontier", wave + 1)
+        if self.cfg.frontier_mode == "snapshot":
+            frontier = self.store.read_snapshot("frontier", wave)
+            new_frontier = frontier.unionByName(
+                requeued.select(*fixtures.FRONTIER_COLS)
+            )
+            self.store.write_snapshot(new_frontier, "frontier", wave + 1)
+        else:
+            # the re-queued rows re-enter the pending view as an add delta at
+            # wave+1, which out-waves their earlier retirement in the
+            # last-op-wins merge — no snapshot rewrite
+            self.store.write_delta(
+                requeued.select(*fixtures.FRONTIER_COLS), "frontier_add", wave + 1
+            )
         hc = self._host_counts(wave)
         if hc is not None:
             self.store.write_snapshot(hc, "host_counts", wave + 1)

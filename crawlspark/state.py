@@ -4,7 +4,12 @@ BASELINE.json:6 "crawl state checkpointed per partition for exact resume").
 Layout under a state root (parquet locally; Iceberg tables in production —
 the schemas are identical, see io.py TableIO):
 
-    frontier/wave=K/      full snapshot of the live frontier after wave K
+    frontier/wave=K/      pending-set snapshot — written at bootstrap and at
+                          periodic REBASE points only (engine frontier_mode
+                          "delta"); between rebases the live frontier is the
+                          merge-on-read view base ∪ frontier_add − retired,
+                          so a wave writes O(changes), never O(live set)
+    frontier_add/wave=K/  append-only delta: rows that became pending at K
     crawl_log/wave=K/     append-only delta (fetches of wave K)
     spans/wave=K/         append-only delta (span rows emitted by wave K)
     seen/wave=K/          exact mode: delta of new url_h; bloom mode: full
@@ -92,6 +97,29 @@ class StateStore:
 
     def read_snapshot(self, table: str, wave: int) -> DataFrame:
         return self.spark.read.parquet(self._dir(table, wave))
+
+    def latest_snapshot_wave(self, table: str, upto_wave: int) -> Optional[int]:
+        """Highest wave <= upto_wave holding a COMPLETE snapshot of ``table``
+        (Spark's _SUCCESS marker present).  A rebase killed mid-write leaves
+        a marker-less directory, which must be invisible — the previous
+        complete snapshot plus the deltas since it reconstruct the same
+        state, exactly like an uncommitted Iceberg snapshot."""
+        base = os.path.join(self.root, table)
+        if not os.path.isdir(base):
+            return None
+        waves = []
+        for entry in os.listdir(base):
+            if not entry.startswith("wave="):
+                continue
+            try:
+                w = int(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if w <= upto_wave and os.path.exists(
+                os.path.join(base, entry, "_SUCCESS")
+            ):
+                waves.append(w)
+        return max(waves) if waves else None
 
     def read_deltas(self, table: str, upto_wave: int, schema=None) -> Optional[DataFrame]:
         """Union of wave deltas <= upto_wave, via partition-pruned read of the

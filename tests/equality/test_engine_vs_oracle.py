@@ -211,6 +211,113 @@ def test_cuckoo_recrawl_delete_then_refetch(spark, oracle):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_snapshot_frontier_mode_identical(spark, oracle):
+    """The pre-delta rewrite-everything frontier layout is kept as
+    frontier_mode="snapshot" and must stay result-identical."""
+    order, seen, docs, _ = _run_engine(
+        spark, EngineConfig(n_hotels=N_HOTELS, frontier_mode="snapshot", take_k=25)
+    )
+    _assert_equal(oracle, order, seen, docs)
+
+
+def test_delta_frontier_rebase_layout_and_equality(spark, oracle):
+    """Delta frontier with aggressive rebasing: results identical AND the
+    on-disk layout proves the merge-on-read contract — full pending
+    snapshots exist ONLY at bootstrap + rebase points (never per wave),
+    per-wave writes are add/retire deltas only."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="crawlspark_rebase_")
+    try:
+        eng = CrawlEngine(
+            spark,
+            EngineConfig(n_hotels=N_HOTELS, take_k=25, frontier_merge_every=2),
+            d,
+        )
+        eng.run()
+        log = eng.crawl_log()
+        order = [
+            (r["crawl_seq"], r["url"])
+            for r in log.orderBy("crawl_seq").select("crawl_seq", "url").collect()
+        ]
+        seen = {r["url_h"] for r in log.select("url_h").collect()}
+        docs = {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+            for r in eng.documents().collect()
+        }
+        _assert_equal(oracle, order, seen, docs)
+        last = eng.store.latest_wave()
+        assert last >= 4  # enough waves for rebases to actually fire
+        snap_waves = {
+            int(e.split("=")[1]) for e in os.listdir(os.path.join(d, "frontier"))
+        }
+        add_waves = {
+            int(e.split("=")[1]) for e in os.listdir(os.path.join(d, "frontier_add"))
+        }
+        # a snapshot per wave would mean the O(live-set) rewrite is back
+        assert len(snap_waves) < last, f"full snapshot every wave: {snap_waves}"
+        expected_rebases = {w for w in range(2, last + 1, 2)}
+        assert snap_waves - {0} == expected_rebases
+        # every completed wave wrote its adds as a delta
+        assert add_waves >= {w for w in range(1, last + 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delta_frontier_resume_across_rebase(spark, oracle):
+    """Kill after a mid-crawl rebase; a fresh engine resumes from the rebase
+    snapshot + later deltas and finishes with identical output."""
+    d = tempfile.mkdtemp(prefix="crawlspark_rebase_resume_")
+    try:
+        cfg = EngineConfig(n_hotels=N_HOTELS, take_k=25, frontier_merge_every=2)
+        eng1 = CrawlEngine(spark, cfg, d)
+        eng1.bootstrap()
+        assert eng1.step() and eng1.step()
+        eng1._merge_frontier()  # rebase at wave 2, then "die"
+
+        eng2 = CrawlEngine(spark, cfg, d)
+        eng2.run()
+        log = eng2.crawl_log()
+        order = [
+            (r["crawl_seq"], r["url"])
+            for r in log.orderBy("crawl_seq").select("crawl_seq", "url").collect()
+        ]
+        assert order == oracle.crawl_order
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delta_frontier_crashed_rebase_ignored(spark, oracle):
+    """A rebase killed mid-write leaves a marker-less snapshot dir; the
+    pending view must fall back to the previous complete snapshot + deltas
+    and still produce the oracle's crawl."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="crawlspark_rebase_crash_")
+    try:
+        cfg = EngineConfig(n_hotels=N_HOTELS, take_k=25)
+        eng1 = CrawlEngine(spark, cfg, d)
+        eng1.bootstrap()
+        assert eng1.step() and eng1.step()
+        # simulate a rebase that died before committing its _SUCCESS marker
+        fake = os.path.join(d, "frontier", "wave=2")
+        os.makedirs(fake)
+        with open(os.path.join(fake, "part-garbage.parquet"), "wb") as fh:
+            fh.write(b"not a parquet file")
+        assert eng1.store.latest_snapshot_wave("frontier", 2) == 0
+
+        eng2 = CrawlEngine(spark, cfg, d)
+        eng2.run()
+        log = eng2.crawl_log()
+        order = [
+            (r["crawl_seq"], r["url"])
+            for r in log.orderBy("crawl_seq").select("crawl_seq", "url").collect()
+        ]
+        assert order == oracle.crawl_order
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_compacting_run_identical(spark, oracle):
     """Periodic delta compaction mid-run is a pure file-layout rewrite: the
     crawl order, seen set, and span sequences must be byte-identical to the

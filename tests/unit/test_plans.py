@@ -220,3 +220,22 @@ def test_jaccard_hot_shingle_cut_precedes_collect(spark):
     assert agg_ids, "collect_set aggregate missing from plan"
     # at least one Filter strictly before (leaf-ward of) every collect_set
     assert any(f < min(agg_ids) for f in filt_ids)
+
+
+def test_delta_frontier_merge_is_broadcast_anti_join(spark, tmp_path):
+    """The merge-on-read pending view must apply its equality deletes as a
+    BROADCAST anti join (map-only over the live set) — never a sort-merge
+    that shuffles the whole base — and aggregate only the (small) changes."""
+    from crawlspark.engine import CrawlEngine, EngineConfig
+
+    eng = CrawlEngine(spark, EngineConfig(n_hotels=50, take_k=10), str(tmp_path / "s"))
+    eng.bootstrap()
+    assert eng.step() and eng.step()
+    plan = (
+        eng._read_pending(eng.store.latest_wave())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
