@@ -98,12 +98,21 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprints(
-    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     k-char gram, keep the minimum hash of each w-window, distinct per doc.
     Native expressions only: positions via sequence, gram hash via
     md5(substring), window min via slice+array_min.
+
+    ``hash_fn``: "md5" (default — the DuckDB-mirrorable q38 oracle form;
+    fp is a hex string) or "xxh" (``F.xxhash64``; fp is a signed long —
+    the variant the map-only Arrow twin ``rolling.fingerprints_arrow``
+    reproduces bit-for-bit, since md5 has no vectorized numpy form).
 
     Output: (doc_id, fp) exploded — the near-dup building block that survives
     small edits (a changed char perturbs <= k+w-1 windows)."""
@@ -124,9 +133,14 @@ def fingerprints(
     for j in range(1, k):
         cur = cur.withColumn(f"c{j}", F.lead("c0", j).over(wlead))
         gram_cols.append(F.col(f"c{j}"))
+    gram_h = (
+        F.md5(F.concat(*gram_cols))
+        if hash_fn == "md5"
+        else F.xxhash64(F.concat(*gram_cols))
+    )
     pos = (
         cur.filter(F.col(f"c{k-1}").isNotNull())
-        .select("doc_id", "idx", F.md5(F.concat(*gram_cols)).alias("h"))
+        .select("doc_id", "idx", gram_h.alias("h"))
     )
     wd = Window.partitionBy("doc_id")
     wmin = wd.orderBy("idx").rowsBetween(Window.currentRow, w - 1)
@@ -175,7 +189,9 @@ def pack_sequences(
     )
 
 
-def cdc_chunks(df: DataFrame, w: int = 8, text_col: str = "text") -> DataFrame:
+def cdc_chunks(
+    df: DataFrame, w: int = 8, text_col: str = "text", hash_fn: str = "md5"
+) -> DataFrame:
     """Content-defined chunking (Rabin-style, cf. LBFS Muthitacharoen et al.
     SOSP'01): a chunk boundary opens at every position whose w-gram hash
     starts with hex '0' (expected chunk ~16 chars at w=8; no min/max clamp —
@@ -187,7 +203,13 @@ def cdc_chunks(df: DataFrame, w: int = 8, text_col: str = "text") -> DataFrame:
     w-1 window leads + native md5 for the boundary flags (never a HOF gram
     lambda), then one lead() over the boundary rows for chunk extents and a
     co-partitioned join back to the doc text for the chunk md5s.  Returns
-    (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5)."""
+    (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5).
+
+    ``hash_fn``: "md5" (default — the q61 oracle form: boundary where the
+    gram md5 leads with hex '0', chunk identity is chunk_md5) or "xxh"
+    (``F.xxhash64``: boundary where pmod(hash, 16) == 0 — the same 1/16
+    probability — and the identity column is chunk_hash, a signed long;
+    the variant ``rolling.cdc_chunks_arrow`` reproduces bit-for-bit)."""
     from pyspark.sql import Window
 
     chars = df.select(
@@ -200,7 +222,9 @@ def cdc_chunks(df: DataFrame, w: int = 8, text_col: str = "text") -> DataFrame:
         cur = cur.withColumn(f"c{j}", F.lead("c0", j).over(wlead))
         gram_cols.append(F.col(f"c{j}"))
     flag = (F.col(f"c{w-1}").isNotNull()) & (
-        F.substring(F.md5(F.concat(*gram_cols)), 1, 1) == "0"
+        (F.substring(F.md5(F.concat(*gram_cols)), 1, 1) == "0")
+        if hash_fn == "md5"
+        else (F.pmod(F.xxhash64(F.concat(*gram_cols)), F.lit(16)) == 0)
     )
     starts = cur.filter((F.col("idx") == 0) | flag).select("doc_id", "idx")
     wdoc = Window.partitionBy("doc_id").orderBy("idx")
@@ -214,6 +238,11 @@ def cdc_chunks(df: DataFrame, w: int = 8, text_col: str = "text") -> DataFrame:
         F.col("chunk_start") + 1,
         F.coalesce(F.col("next_start"), F.length(text_col)) - F.col("chunk_start"),
     )
+    chunk_id = (
+        F.md5(chunk).alias("chunk_md5")
+        if hash_fn == "md5"
+        else F.xxhash64(chunk).alias("chunk_hash")
+    )
     return (
         bounds.join(df.select("doc_id", text_col), "doc_id")
         .select(
@@ -221,6 +250,6 @@ def cdc_chunks(df: DataFrame, w: int = 8, text_col: str = "text") -> DataFrame:
             F.col("chunk_idx").cast("int").alias("chunk_idx"),
             F.col("chunk_start").cast("long").alias("chunk_start"),
             F.length(chunk).cast("long").alias("chunk_len"),
-            F.md5(chunk).alias("chunk_md5"),
+            chunk_id,
         )
     )
