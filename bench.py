@@ -47,10 +47,13 @@ HEADLINE = [
     # round-2 additions: interleaved-span flatten, keep-best cluster dedup,
     # IVF ANN — the new first-class pipeline paths
     "q54_interleaved_flatten",
+    "q55_sequence_packing",
     "q56_cluster_representatives",
     "q57_ann_ivf",
+    "q58_frame_sample",
     "q61_cdc_chunks",
     "q62_training_batches",
+    "q64_link_extraction",
 ]
 
 
@@ -199,6 +202,82 @@ def bench_cuckoo(spark, n_keys: int = 2_000_000, p: int = 64, n_buckets: int = 1
     }
 
 
+def bench_wave_cost(spark):
+    """Frontier write-discipline evidence (VERDICT r2 item 4): per-wave wall
+    time of the SAME throttled crawl waves over a small vs a 4x live
+    frontier, in both frontier modes.  The prelude drains two unthrottled
+    waves to inflate the pending set (listing -> all overviews -> review
+    fanout), then take_k throttling makes every measured wave do identical
+    fetch work — so any growth in wave time with frontier size is pure
+    state-maintenance cost.  Expected: "snapshot" rewrites the full pending
+    set each wave (O(live) write), "delta" writes only the wave's adds +
+    retires and merges on read."""
+    import shutil
+    import tempfile
+
+    from crawlspark.engine import CrawlEngine, EngineConfig
+
+    out = {}
+    for n_hotels in (30_000, 120_000):
+        for mode in ("delta", "snapshot"):
+            d = tempfile.mkdtemp(prefix=f"cs_wave_{mode}_")
+            try:
+                cfg = EngineConfig(
+                    n_hotels=n_hotels, frontier_mode=mode, frontier_merge_every=None
+                )
+                eng = CrawlEngine(spark, cfg, d)
+                eng.bootstrap()
+                eng.step()  # listing pages -> all overview URLs pending
+                eng.step()  # overviews -> review-page fanout pending
+                cfg.take_k = 5  # now throttle: constant work per wave
+                t0 = time.time()
+                eng.step()
+                eng.step()
+                sec = (time.time() - t0) / 2
+                pend = eng._read_pending(eng.store.latest_wave())
+                out[f"{mode}_n{n_hotels}"] = {
+                    "sec_per_wave": round(sec, 3),
+                    "live_frontier": pend.count(),
+                }
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+    for mode in ("delta", "snapshot"):
+        a = out[f"{mode}_n30000"]
+        b = out[f"{mode}_n120000"]
+        out[f"{mode}_wave_cost_growth_at_4x"] = round(
+            b["sec_per_wave"] / a["sec_per_wave"], 2
+        )
+    return out
+
+
+def bench_rolling(spark, sf_dir):
+    """Codegen char-gram operators vs their map-only Arrow twins (VERDICT r2
+    item 6): winnowing fingerprints and CDC chunking, timed side-by-side on
+    the same corpus.  md5 = the DuckDB-oracle form (q38/q61), xxh = the
+    same codegen plan with xxhash64, arrow = rolling.* (one mapInPandas
+    stage, zero exchanges, equality-tested bit-equal to the xxh codegen)."""
+    from crawlspark import rolling, textproc
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.count()  # warm the scan
+
+    def t(thunk):
+        t0 = time.time()
+        thunk().count()
+        return round(time.time() - t0, 3)
+
+    return {
+        "fingerprints_md5_codegen": t(lambda: textproc.fingerprints(docs)),
+        "fingerprints_xxh_codegen": t(
+            lambda: textproc.fingerprints(docs, hash_fn="xxh")
+        ),
+        "fingerprints_arrow": t(lambda: rolling.fingerprints_arrow(docs)),
+        "cdc_md5_codegen": t(lambda: textproc.cdc_chunks(docs)),
+        "cdc_xxh_codegen": t(lambda: textproc.cdc_chunks(docs, hash_fn="xxh")),
+        "cdc_arrow": t(lambda: rolling.cdc_chunks_arrow(docs)),
+    }
+
+
 def run_queries(spark, sf_dir):
     import __spark_entry__ as entry_mod
 
@@ -292,6 +371,8 @@ def main():
     q_secs = run_queries(spark, sf_dir)
     bloom = bench_bloom(spark)
     cuckoo = bench_cuckoo(spark)
+    rolling_twins = bench_rolling(spark, sf_dir)
+    wave_cost = bench_wave_cost(spark)
     spark.stop()
 
     # best-of-2: single runs on this shared host are a lottery (external
@@ -375,6 +456,8 @@ def main():
                 },
                 "bloom_seen_set": bloom,
                 "cuckoo_seen_set": cuckoo,
+                "rolling_arrow_twins": rolling_twins,
+                "frontier_wave_cost": wave_cost,
                 "scaling": scaling,
             }
         )
