@@ -105,7 +105,14 @@ def canonicalize(url: Column) -> Column:
     """Canonical URL: lowercase scheme+host, default port stripped, fragment
     stripped, percent-escapes normalized (unreserved decoded, kept escapes
     upper-hexed), trailing slashes trimmed, tracking params dropped,
-    remaining query params sorted.  Idempotent (property-tested)."""
+    remaining query params sorted.  Idempotent (property-tested).
+
+    IDN contract: this native pipeline case-folds hosts (``F.lower`` is
+    unicode-aware) but does NOT punycode them — punycode/NFC are not
+    expressible in native column expressions.  On corpora with
+    international hosts, apply ``idn_normalize_hosts`` first (Arrow-batched,
+    ASCII fast path stays native) so ``münchen.example`` and
+    ``xn--mnchen-3ya.example`` share one url_h."""
     u = pct_normalize(strip_fragment(url))
     sch = scheme(u)
     hp = hostport(u)
@@ -125,6 +132,63 @@ def canonicalize(url: Column) -> Column:
         _path(u),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+
+
+def _idn_host_ascii_one(h: str | None) -> str | None:
+    """IDNA ToASCII for one host: NFC + casefold, then per-label punycode
+    via Python's built-in idna codec (IDNA 2003 nameprep — public stdlib).
+    Hosts the codec rejects (empty labels, oversize labels, stray
+    whitespace) fall back to the NFC+casefolded form — still deterministic
+    and still unifying the case/normalization-form variants."""
+    import unicodedata
+
+    if h is None:
+        return None
+    h2 = unicodedata.normalize("NFC", h).casefold()
+    if h2.isascii():
+        return h2
+    try:
+        return h2.encode("idna").decode("ascii")
+    except UnicodeError:
+        return h2
+
+
+def idn_normalize_hosts(df, url_col: str = "url"):
+    """Rewrite each URL's host to its IDN-normalized ASCII (punycode) form,
+    so a unicode host and its punycode twin canonicalize to the SAME url —
+    and therefore the same url_h — instead of being fetched twice
+    (``münchen.example`` ≡ ``xn--mnchen-3ya.example``, composed ≡
+    decomposed umlauts, casefold beyond ASCII).
+
+    Contract (also stated in ``canonicalize``): the pure-native pipeline
+    performs unicode CASE-FOLDING only (``F.lower`` is unicode-aware);
+    punycode/NFC are not expressible in native column expressions, so this
+    step is an Arrow-batched pandas UDF applied to the HOST substring only,
+    with a native non-ASCII pre-filter — ASCII URLs (the overwhelming
+    majority of a web corpus) pass through untouched on the codegen fast
+    path and never reach Python.  Run this BEFORE canonicalize on corpora
+    with international hosts; it is idempotent and composes with
+    canonicalize's own idempotence (both property-tested)."""
+    # explicit functionType: the module's postponed annotations would leave
+    # pandas_udf's type-hint inference with unresolvable string hints
+    _idn_ascii = F.pandas_udf(
+        lambda hs: hs.map(_idn_host_ascii_one), "string"
+    )
+
+    u = F.trim(F.col(url_col))
+    hst = host(u)
+    needs = hst.rlike(r"[^\x00-\x7F]")
+    sch = scheme(u)
+    prt = _port(hostport(u))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+(.*)", 1)
+    rebuilt = F.concat(
+        sch,
+        F.lit("://"),
+        _idn_ascii(hst),
+        F.when(prt != "", F.concat(F.lit(":"), prt)).otherwise(F.lit("")),
+        rest,
+    )
+    return df.withColumn(url_col, F.when(needs, rebuilt).otherwise(F.col(url_col)))
 
 
 def hash64(url: Column) -> Column:

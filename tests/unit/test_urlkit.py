@@ -152,3 +152,61 @@ def test_resolve_matches_urljoin_reference(spark):
     ).collect()
     for r in got:
         assert r["r"] == urljoin(r["base"], r["href"]), (r["base"], r["href"], r["r"])
+
+
+def test_idn_normalize_hosts_unifies_unicode_and_punycode(spark):
+    """A unicode host, its punycode twin, its decomposed-NFC variant, and an
+    uppercase unicode variant must all canonicalize to ONE url_h; ASCII
+    URLs pass through byte-identical (never touching Python)."""
+    rows = [
+        (1, "https://münchen.example/Hotels-g1.html"),
+        (2, "https://xn--mnchen-3ya.example/Hotels-g1.html"),
+        (3, "https://mu\u0308nchen.example/Hotels-g1.html"),  # decomposed u + combining umlaut
+        (4, "https://MÜNCHEN.example/Hotels-g1.html"),
+        (5, "https://plain-ascii.example/Hotels-g1.html"),
+        (6, "HTTPS://Mixed-Case-ASCII.example:443/x?b=2&a=1#frag"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = urlkit.idn_normalize_hosts(df)
+    canon = out.select(
+        "id", urlkit.canonicalize(F.col("url")).alias("c"),
+        urlkit.hash64(urlkit.canonicalize(F.col("url"))).alias("h"),
+    ).collect()
+    by_id = {r["id"]: (r["c"], r["h"]) for r in canon}
+    assert len({by_id[i][1] for i in (1, 2, 3, 4)}) == 1
+    assert by_id[1][0] == "https://xn--mnchen-3ya.example/Hotels-g1.html"
+    # ASCII rows: idn step is the identity (pre-canonicalize)
+    raw = {r["id"]: r["url"] for r in out.collect()}
+    assert raw[5] == rows[4][1]
+    assert raw[6] == rows[5][1]
+
+
+def test_idn_normalize_hosts_idempotent(spark):
+    rows = [
+        (1, "https://münchen.example/a"),
+        (2, "https://straße.example:8443/x?q=1"),
+        (3, "https://ascii.example/a"),
+        (4, "https://ドメイン.example/p/q"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    once = {r["id"]: r["url"] for r in urlkit.idn_normalize_hosts(df).collect()}
+    twice = {
+        r["id"]: r["url"]
+        for r in urlkit.idn_normalize_hosts(urlkit.idn_normalize_hosts(df)).collect()
+    }
+    assert once == twice
+    # IDNA 2003 nameprep folds ß -> ss (ASCII, no punycode needed); the
+    # port must survive the rewrite
+    assert once[2].startswith("https://strasse.example:8443/")
+    # a host that stays non-ASCII after casefold really is punycoded
+    assert once[4].startswith("https://xn--eckwd4c7c.example/")
+
+
+def test_idn_host_ascii_fallback_is_deterministic():
+    """Hosts the idna codec rejects fall back to NFC+casefold (still
+    unifying normalization-form/case variants), never raise."""
+    bad = "bad..läbel.example"  # empty label -> UnicodeError in ToASCII
+    a = urlkit._idn_host_ascii_one(bad)
+    b = urlkit._idn_host_ascii_one("BAD..LÄBEL.example")
+    assert a == b == "bad..läbel.example"
+    assert urlkit._idn_host_ascii_one(None) is None
