@@ -234,10 +234,22 @@ def bench_wave_cost(spark):
                 eng.step()
                 eng.step()
                 sec = (time.time() - t0) / 2
-                pend = eng._read_pending(eng.store.latest_wave())
+                last = eng.store.latest_wave()
+                pend = eng._read_pending(last)
+                # rows of frontier state written by the final wave — the
+                # design contract itself, immune to host CPU steal (wall
+                # times on this shared box are a lottery, see §5)
+                if mode == "delta":
+                    written = (
+                        eng.store.read_snapshot("frontier_add", last).count()
+                        + eng.store.read_snapshot("retired", last - 1).count()
+                    )
+                else:
+                    written = eng.store.read_snapshot("frontier", last).count()
                 out[f"{mode}_n{n_hotels}"] = {
                     "sec_per_wave": round(sec, 3),
                     "live_frontier": pend.count(),
+                    "state_rows_written_last_wave": written,
                 }
             finally:
                 shutil.rmtree(d, ignore_errors=True)
@@ -246,6 +258,9 @@ def bench_wave_cost(spark):
         b = out[f"{mode}_n120000"]
         out[f"{mode}_wave_cost_growth_at_4x"] = round(
             b["sec_per_wave"] / a["sec_per_wave"], 2
+        )
+        out[f"{mode}_rows_written_growth_at_4x"] = round(
+            b["state_rows_written_last_wave"] / a["state_rows_written_last_wave"], 2
         )
     return out
 
