@@ -316,12 +316,44 @@ def train_ivf_centroids(
     n_cells·(dim+1) longs per batch, centroids localCheckpointed between
     rounds (n_cells rows).  At 100 TB a codebook is trained on a sample
     (emb.sample(...)); pass the sample here, the full frame to
-    ivf_topk/ivf_assign_arrow."""
+    ivf_topk/ivf_assign_arrow.
+
+    ``assign="driver"`` (ivf_topk's default): ONE collect of the training
+    vectors, then all rounds as local numpy — the standard coarse-quantizer
+    recipe (FAISS trains IVF codebooks on a driver-sized sample), collapsing
+    2·n_rounds+ Spark jobs into one.  Same seeded init, same matmul-argmax
+    tie-breaking, same fixed-point integer means — bit-identical to the
+    distributed paths (equality-tested three ways).  Contract: the frame
+    passed here must be driver-sized (pass a sample at scale); the
+    distributed rounds remain for training sets that are not."""
     import pandas as pd
 
     d = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("norm", _norm(F.col("v")))
+    if assign == "driver":
+        rows = sorted(
+            (int(r["vid"]), list(r["v"])) for r in d.select("vid", "v").collect()
+        )
+        ids = [i for i, _ in rows]
+        V = np.array([v for _, v in rows], dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        Vs = np.floor(V * _FP_SCALE).astype(np.int64)
+        pos = {vid: j for j, vid in enumerate(ids)}
+        c_ids = list(range(8, 8 + n_cells))
+        C = np.array([V[pos[c]] for c in c_ids], dtype=np.float64)
+        for _ in range(n_rounds):
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            best = (Vn @ Cn.T).argmax(axis=1)  # ties -> lowest cid
+            for ci in range(n_cells):
+                m = best == ci
+                n = int(m.sum())
+                if n:  # empty cells keep their previous centroid
+                    C[ci] = Vs[m].sum(axis=0).astype(np.float64) / n / _FP_SCALE
+        return emb.sparkSession.createDataFrame(
+            [(int(c_ids[ci]), [float(x) for x in C[ci]]) for ci in range(n_cells)],
+            "cid long, cv array<double>",
+        )
     cents = _seed_centroids(d, n_cells)
     part_schema = T.StructType(
         [
@@ -413,6 +445,7 @@ def ivf_topk(
     nprobe: int = 4,
     n_rounds: int = 2,
     assign: str = "arrow",
+    train_assign: str = "driver",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -426,6 +459,11 @@ def ivf_topk(
     SQL-mirrorable end-to-end (q57's DuckDB oracle unrolls the same training
     rounds and hash-checks assignment, probe, and rerank, unlike the
     rows-only LSH path).  ``n_rounds=0`` reproduces the raw seeded codebook.
+    ``train_assign`` picks the training executor — "driver" (default: one
+    collect + local numpy, the FAISS-style sample-trained coarse quantizer;
+    at 100 TB pass a sampled frame to train_ivf_centroids yourself and feed
+    the codebook to ivf_assign_arrow), "arrow", or "hof"; all three produce
+    bit-identical centroids (equality-tested).
 
     Scale shape: corpus assignment defaults to the Arrow path
     (``assign="arrow"`` — one numpy matmul per batch, see ivf_assign_arrow;
@@ -436,7 +474,9 @@ def ivf_topk(
     d = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("norm", _norm(F.col("v")))
-    cents = train_ivf_centroids(emb, n_cells, n_rounds, DIM, id_col, vec_col)
+    cents = train_ivf_centroids(
+        emb, n_cells, n_rounds, DIM, id_col, vec_col, assign=train_assign
+    )
     cent = cents.withColumn("cn", _norm(F.col("cv")))
     if assign == "arrow":
         asg = ivf_assign_arrow(emb, n_cells, id_col, vec_col, centroids=cents)

@@ -601,17 +601,17 @@ def test_train_ivf_centroids_partition_invariant(spark, emb):
     assert a == b
 
 
-def test_train_ivf_centroids_arrow_equals_hof(spark, emb):
-    """The Arrow (mapInPandas matmul + per-cell fixed-point partial sums)
-    training round must produce bit-identical centroids to the declarative
-    HOF struct-argmax round — same assignment tie-breaking (lowest cid),
-    same exact integer means."""
-    arrow = {
-        r["cid"]: tuple(r["cv"])
-        for r in simsearch.train_ivf_centroids(emb, assign="arrow").collect()
+def test_train_ivf_centroids_three_paths_bit_identical(spark, emb):
+    """Driver-local numpy (ivf_topk's default), distributed Arrow
+    (mapInPandas matmul + per-cell fixed-point partial sums), and the
+    declarative HOF struct-argmax rounds must all produce bit-identical
+    centroids — same seeded init, same lowest-cid tie-breaking, same exact
+    integer means."""
+    out = {
+        mode: {
+            r["cid"]: tuple(r["cv"])
+            for r in simsearch.train_ivf_centroids(emb, assign=mode).collect()
+        }
+        for mode in ("driver", "arrow", "hof")
     }
-    hof = {
-        r["cid"]: tuple(r["cv"])
-        for r in simsearch.train_ivf_centroids(emb, assign="hof").collect()
-    }
-    assert arrow == hof
+    assert out["driver"] == out["arrow"] == out["hof"]
