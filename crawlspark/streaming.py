@@ -150,6 +150,16 @@ def run_engine_stream(engine, checkpoint_dir: str, max_waves: int = 50) -> int:
             return
         if engine.step():
             state["waves"] += 1
+            # the batch loop's periodic frontier rebase lives in run(); a
+            # streaming drive must fold add/retire deltas on the same cadence
+            # or the merge-on-read view accumulates them without bound
+            me = engine.cfg.frontier_merge_every
+            if (
+                engine.cfg.frontier_mode != "snapshot"
+                and me
+                and state["waves"] % me == 0
+            ):
+                engine._merge_frontier()
         else:
             state["done"] = True
 
