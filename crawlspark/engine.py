@@ -254,11 +254,20 @@ class CrawlEngine:
     # ------------------------------------------------------------------- step
 
     def step(self) -> bool:
-        """Run one wave; returns False when the frontier is drained."""
+        """Run one wave; returns False when the frontier is drained.
+        Wave-lifetime caches are unpersisted on EVERY exit path (including a
+        failed wave — a retried wave must not inherit leaked blocks)."""
+        wave_caches: list[DataFrame] = []
+        try:
+            return self._step_impl(wave_caches)
+        finally:
+            for c in wave_caches:
+                c.unpersist()
+
+    def _step_impl(self, wave_caches: list[DataFrame]) -> bool:
         cfg = self.cfg
         wave = self.store.latest_wave()
         assert wave is not None, "bootstrap() first"
-        wave_caches: list[DataFrame] = []
         frontier = self._read_pending(wave)
         if cfg.frontier_mode != "snapshot":
             # the merged pending view feeds three consumers (drain check,
@@ -270,8 +279,6 @@ class CrawlEngine:
         # cheap no-op guard for wave-0 bootstrap states of older layouts
         pending = frontier.filter(F.col("state") == "pending")
         if pending.isEmpty():
-            for c in wave_caches:
-                c.unpersist()
             return False
 
         # robots (broadcast) -> blocked split
@@ -324,6 +331,7 @@ class CrawlEngine:
         else:
             fetched = fetch.simulate_native(batch)
         fetched = fetched.withColumn("partition_id", F.spark_partition_id()).persist()
+        wave_caches.append(fetched)
 
         log_new = fetched.withColumn("wave", F.lit(wave)).select(*LOG_COLS)
         span_rows = (
@@ -402,9 +410,6 @@ class CrawlEngine:
         else:
             self.store.write_snapshot(new_frontier, "frontier", wave + 1)
         self.store.commit(wave + 1, {"config": {"seen_mode": cfg.seen_mode}})
-        fetched.unpersist()
-        for c in wave_caches:
-            c.unpersist()
         return True
 
     def run(self, max_waves: int = 50) -> int:
