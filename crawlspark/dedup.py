@@ -156,6 +156,49 @@ def jaccard_pairs(
     return out
 
 
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination — the eval-overlap scrub every LLM
+    training pipeline runs before training (n-gram collision flagging, cf.
+    the GPT-3 appendix-C / Dolma recipes): a training document sharing
+    ``min_hits``+ distinct n-word shingles with the held-out benchmark set
+    is flagged as contaminated.
+
+    Returns every training doc with at least one hit:
+    (doc_id, n_hits, n_sh, hit_ratio, contaminated).
+
+    Scale shape: the benchmark side reduces to its DISTINCT shingle keys —
+    eval sets are tiny by contract (thousands of docs vs billions), so that
+    key set is broadcast and the scrub is ONE map-side hash-join over the
+    training shingles plus a doc_id hash agg; the per-doc shingle count
+    rides the window exchange shingle_hashes already pays (same single-pass
+    trick as jaccard_pairs).  No shuffle of the training corpus by shingle,
+    no self-join anywhere."""
+    tr = shingle_hashes(train, text_col, n).withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    bench_sh = shingle_hashes(bench, text_col, n).select("sh").distinct()
+    return (
+        tr.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"), F.first("n_sh").alias("n_sh"))
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_sh",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_sh").cast("double"), 6
+            ).alias("hit_ratio"),
+            (F.col("n_hits") >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- MinHash + LSH
 
 N_PERM = 64

@@ -505,6 +505,18 @@ def q67_mixture_rebalance(spark, sf_dir):
     )
 
 
+def q68_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): the doc_id % 50 == 7
+    slice plays the held-out eval set; every other doc sharing 3-gram
+    shingles with it is flagged with hit counts and a >= 4-hits
+    contamination verdict.  Broadcast eval-shingle join — the corpus is
+    never shuffled by shingle."""
+    d = read(spark, sf_dir, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 7)
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 7)
+    return dedup.decontaminate(train, bench)
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -545,6 +557,7 @@ QUERIES = {
     "q65_host_link_graph": q65_host_link_graph,
     "q66_grouping_sets": q66_grouping_sets,
     "q67_mixture_rebalance": q67_mixture_rebalance,
+    "q68_decontaminate": q68_decontaminate,
 }
 
 def _ivf_oracle_sql(
@@ -962,6 +975,22 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "FROM documents) "
         "SELECT doc_id, b.lang, bucket, rate_bp FROM b JOIN rates ON rates.lang = b.lang "
         "WHERE bucket < rate_bp"
+    ),
+    "q68_decontaminate": (
+        "WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws "
+        "FROM documents), "
+        "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, greatest(len(ws)-1, 1)), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh FROM w), "
+        "bench AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 50 = 7), "
+        "tr AS (SELECT * FROM sh0 WHERE doc_id % 50 <> 7), "
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM tr GROUP BY 1), "
+        "hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM tr t JOIN bench USING (sh) GROUP BY 1) "
+        "SELECT h.doc_id, h.n_hits, s.n_sh, "
+        "round(CAST(h.n_hits AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6) AS hit_ratio, "
+        "h.n_hits >= 4 AS contaminated "
+        "FROM hits h JOIN sizes s USING (doc_id)"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

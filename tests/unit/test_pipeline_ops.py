@@ -615,3 +615,29 @@ def test_train_ivf_centroids_three_paths_bit_identical(spark, emb):
         for mode in ("driver", "arrow", "hof")
     }
     assert out["driver"] == out["arrow"] == out["hof"]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc copying a benchmark sentence (>= 4 shared 3-gram
+    shingles) is flagged contaminated; a partially-overlapping doc is
+    reported but not flagged; a disjoint doc never appears."""
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then the quick brown fox jumps over the lazy dog tonight"),
+            (2, "only quick brown fox here and nothing else shared beyond"),
+            (3, "completely different text with no common trigrams at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.decontaminate(train, bench).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] >= 8
+    assert 2 in rows and not rows[2]["contaminated"]
+    assert rows[2]["n_hits"] == 1  # 'quick brown fox' only
+    assert 3 not in rows
+    # ratio is exact n_hits/n_sh
+    r1 = rows[1]
+    assert abs(r1["hit_ratio"] - round(r1["n_hits"] / r1["n_sh"], 6)) < 1e-12
