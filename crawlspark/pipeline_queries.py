@@ -517,6 +517,34 @@ def q68_decontaminate(spark, sf_dir):
     return dedup.decontaminate(train, bench)
 
 
+def q69_leakage_free_split(spark, sf_dir):
+    """Leakage-free train/val split: the split unit is the NEAR-DUP CLUSTER,
+    not the document — splitting per doc leaks near-duplicates of training
+    docs into validation (the classic eval-inflation bug).  Cluster labels
+    come from the q45 hash-min CC over the Jaccard>=0.5 graph; unclustered
+    docs are their own singleton cluster; the decision is a deterministic
+    md5 bucket of the LABEL (q49/q67 idiom — auditable, stable under
+    re-partitioning and re-ids), bucket < 9000/10000 -> train.  The label
+    join is docs vs the (small) clustered subset — AQE broadcasts it."""
+    d = read(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.5)
+    labels = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    lab = (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("label"))
+    )
+    m = F.md5(F.col("label").cast("string"))
+    bucket = (
+        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1))) % 10000
+    ).cast("int")
+    return lab.select(
+        "doc_id",
+        "label",
+        F.when(bucket < 9000, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -558,6 +586,7 @@ QUERIES = {
     "q66_grouping_sets": q66_grouping_sets,
     "q67_mixture_rebalance": q67_mixture_rebalance,
     "q68_decontaminate": q68_decontaminate,
+    "q69_leakage_free_split": q69_leakage_free_split,
 }
 
 def _ivf_oracle_sql(
@@ -991,6 +1020,29 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "round(CAST(h.n_hits AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6) AS hit_ratio, "
         "h.n_hits >= 4 AS contaminated "
         "FROM hits h JOIN sizes s USING (doc_id)"
+    ),
+    "q69_leakage_free_split": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ")
+    + (
+        ", pairs AS ("
+        "SELECT doc_a, doc_b FROM shr "
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.5"
+        "), edges AS ("
+        "SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs"
+        "), reach(src, dst) AS ("
+        "SELECT src, dst FROM edges "
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src"
+        "), cc AS ("
+        "SELECT src AS doc_id, least(src, min(dst)) AS label "
+        "FROM reach GROUP BY src"
+        "), lab AS ("
+        "SELECT d.doc_id, coalesce(cc.label, d.doc_id) AS label "
+        "FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id) "
+        "SELECT doc_id, label, CASE WHEN "
+        "(ascii(substr(md5(CAST(label AS VARCHAR)), 1, 1)) * 256 + "
+        "ascii(substr(md5(CAST(label AS VARCHAR)), 2, 1))) % 10000 < 9000 "
+        "THEN 'train' ELSE 'val' END AS split FROM lab"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
