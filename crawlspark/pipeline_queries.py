@@ -545,6 +545,52 @@ def q69_leakage_free_split(spark, sf_dir):
     )
 
 
+def q70_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality score (the CCNet/Dolma perplexity
+    filter with a self-scored unigram LM standing in for KenLM): per doc,
+    the mean log-probability of its words under the corpus unigram
+    distribution — rare-token soup scores very negative, stopword soup
+    scores near the top; both tails get filtered in a real pipeline.
+
+    Shape: one exploded-word hash agg for corpus frequencies, an AQE-sized
+    join back to the words (no broadcast hint — a web-scale vocabulary
+    exceeds broadcast limits, q46 discipline), one per-doc hash agg.  The
+    corpus total rides a 1-row-agg crossJoin (q29 idiom, no driver count).
+
+    Determinism: a float SUM of logs would depend on partial-aggregate
+    merge order, so each word's ln(cf) is rounded to 6dp and summed as
+    fixed-point BIGINTs (the IVF-centroid trick); ln(total) is subtracted
+    once at the end.  floor(x*1e6 + 0.5) keeps Spark's truncating cast and
+    DuckDB's rounding cast out of the comparison."""
+    d = read(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    cf = words.groupBy("w").agg(F.count("*").alias("cf"))
+    tot = cf.agg(F.sum("cf").cast("double").alias("n_total"))
+    lp_fp = F.floor(
+        F.round(F.log(F.col("cf").cast("double")), 6) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        words.join(cf, "w")
+        .select("doc_id", lp_fp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.sum("lp").alias("s"))
+    )
+    mean_lp = (
+        F.col("s").cast("double") / F.col("n_words").cast("double") / F.lit(1000000.0)
+        - F.round(F.log(F.col("n_total")), 6)
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(mean_lp, 6).alias("mean_logprob"),
+        )
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -587,6 +633,7 @@ QUERIES = {
     "q67_mixture_rebalance": q67_mixture_rebalance,
     "q68_decontaminate": q68_decontaminate,
     "q69_leakage_free_split": q69_leakage_free_split,
+    "q70_unigram_logprob": q70_unigram_logprob,
 }
 
 def _ivf_oracle_sql(
@@ -1043,6 +1090,21 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "(ascii(substr(md5(CAST(label AS VARCHAR)), 1, 1)) * 256 + "
         "ascii(substr(md5(CAST(label AS VARCHAR)), 2, 1))) % 10000 < 9000 "
         "THEN 'train' ELSE 'val' END AS split FROM lab"
+    ),
+    "q70_unigram_logprob": (
+        "WITH words AS (SELECT doc_id, w FROM (SELECT doc_id, "
+        "unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents) "
+        "WHERE w <> ''), "
+        "cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM words GROUP BY w), "
+        "tot AS (SELECT CAST(CAST(sum(cf) AS BIGINT) AS DOUBLE) AS n_total FROM cf), "
+        "lp AS (SELECT doc_id, CAST(floor(round(ln(CAST(cf AS DOUBLE)), 6) "
+        "* 1000000.0 + 0.5) AS BIGINT) AS lp FROM words JOIN cf USING (w)), "
+        "per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(lp) AS BIGINT) AS s FROM lp GROUP BY doc_id) "
+        "SELECT doc_id, n_words, "
+        "round(CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE) / 1000000.0 "
+        "- round(ln(n_total), 6), 6) AS mean_logprob "
+        "FROM per_doc, tot"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -662,3 +662,25 @@ def test_leakage_free_split_keeps_clusters_together(spark, docs):
     # value-hash-checked by the q69 oracle at sf0.01)
     assert (out.split == "val").mean() <= 0.3
     assert set(out.split) <= {"train", "val"}
+
+
+def test_unigram_logprob_orders_rare_below_common(spark, tmp_path):
+    """A doc of corpus-frequent words must out-score a doc of hapax
+    gibberish; scores are partition-invariant (fixed-point log sums)."""
+    from crawlspark import pipeline_queries
+
+    rows = [(i, "the quick brown fox jumps the lazy dog the end") for i in range(20)]
+    rows += [(100, "the the quick quick fox fox"), (101, "zxqv wplk njrd fhgt bbnm qqwz")]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        d + "/documents.parquet"
+    )
+    out = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in pipeline_queries.QUERIES["q70_unigram_logprob"](spark, d).collect()
+    }
+    assert out[100] > out[101], out  # common words >> hapax gibberish
+    assert all(v < 0 for v in out.values())  # log-probs
+    q = pipeline_queries.QUERIES["q70_unigram_logprob"]
+    again = {r["doc_id"]: r["mean_logprob"] for r in q(spark, d).collect()}
+    assert out == again
