@@ -591,6 +591,31 @@ def q70_unigram_logprob(spark, sf_dir):
     )
 
 
+def q71_host_pagerank(spark, sf_dir):
+    """Host-authority PageRank for frontier prioritization (graph.pagerank,
+    2 damped power-iteration rounds, fixed-point edge sums): the classic
+    crawl-scheduling signal — high-rank hosts get fetched first.  The host
+    link graph is synthesized deterministically from doc ids (each doc's
+    host links to three arithmetic neighbors), mirroring q64/q65's
+    synthetic-HTML idiom; the DuckDB oracle unrolls the same rounds, so an
+    ITERATIVE float algorithm gets a full value-hash check."""
+    from crawlspark import graph
+
+    d = read(spark, sf_dir, "documents").select("doc_id")
+    src = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+    e = (
+        d.select(
+            src.alias("src"),
+            F.explode(
+                F.array(*[(F.col("doc_id") * 7 + F.lit(k)) % 20 for k in (1, 2, 3)])
+            ).alias("t"),
+        )
+        .select("src", F.concat(F.lit("h"), F.col("t").cast("string")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return graph.pagerank(e, n_rounds=2)
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -634,6 +659,7 @@ QUERIES = {
     "q68_decontaminate": q68_decontaminate,
     "q69_leakage_free_split": q69_leakage_free_split,
     "q70_unigram_logprob": q70_unigram_logprob,
+    "q71_host_pagerank": q71_host_pagerank,
 }
 
 def _ivf_oracle_sql(
@@ -1105,6 +1131,29 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "round(CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE) / 1000000.0 "
         "- round(ln(n_total), 6), 6) AS mean_logprob "
         "FROM per_doc, tot"
+    ),
+    "q71_host_pagerank": (
+        "WITH e0 AS (SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src, "
+        "'h' || CAST((doc_id * 7 + k) % 20 AS VARCHAR) AS dst "
+        "FROM documents, unnest([1, 2, 3]) AS t(k)), "
+        "e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), "
+        "nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes), "
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1), "
+        "r0 AS (SELECT host, round(1.0 / n_nodes, 9) AS rank FROM nodes, n), "
+        "s1 AS (SELECT e.dst AS host, CAST(sum(CAST(floor((r.rank / CAST(o.outdeg AS DOUBLE)) "
+        "* 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s "
+        "FROM e JOIN outdeg o ON o.src = e.src JOIN r0 r ON r.host = e.src GROUP BY 1), "
+        "r1 AS (SELECT nd.host, round(0.15 / n.n_nodes + 0.85 * "
+        "(CAST(coalesce(s1.s, 0) AS DOUBLE) / 1000000000.0), 9) AS rank "
+        "FROM nodes nd LEFT JOIN s1 ON s1.host = nd.host, n), "
+        "s2 AS (SELECT e.dst AS host, CAST(sum(CAST(floor((r.rank / CAST(o.outdeg AS DOUBLE)) "
+        "* 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s "
+        "FROM e JOIN outdeg o ON o.src = e.src JOIN r1 r ON r.host = e.src GROUP BY 1), "
+        "r2 AS (SELECT nd.host, round(0.15 / n.n_nodes + 0.85 * "
+        "(CAST(coalesce(s2.s, 0) AS DOUBLE) / 1000000000.0), 9) AS rank "
+        "FROM nodes nd LEFT JOIN s2 ON s2.host = nd.host, n) "
+        "SELECT host, rank FROM r2"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

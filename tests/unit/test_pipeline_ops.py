@@ -684,3 +684,24 @@ def test_unigram_logprob_orders_rare_below_common(spark, tmp_path):
     q = pipeline_queries.QUERIES["q70_unigram_logprob"]
     again = {r["doc_id"]: r["mean_logprob"] for r in q(spark, d).collect()}
     assert out == again
+
+
+def test_pagerank_hub_ranks_highest_and_is_partition_invariant(spark):
+    """Star graph: every leaf links to the hub, hub links to one leaf.
+    The hub must out-rank every leaf; fixed-point sums make the result
+    bit-identical under repartitioning."""
+    from crawlspark import graph
+
+    edges = [(f"leaf{i}", "hub") for i in range(8)] + [("hub", "leaf0")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    # odd round count: a star is near-bipartite, so rank mass SLOSHES on
+    # even iterations (hub -> leaf0) — textbook power-method oscillation
+    r = {row["host"]: row["rank"] for row in graph.pagerank(e, n_rounds=3).collect()}
+    assert all(r["hub"] > v for h, v in r.items() if h != "hub"), r
+    # leaf0 receives the hub's whole outflow -> beats the other leaves
+    assert r["leaf0"] > r["leaf1"]
+    r2 = {
+        row["host"]: row["rank"]
+        for row in graph.pagerank(e.repartition(13), n_rounds=3).collect()
+    }
+    assert r == r2
