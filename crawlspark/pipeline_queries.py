@@ -616,6 +616,59 @@ def q71_host_pagerank(spark, sf_dir):
     return graph.pagerank(e, n_rounds=2)
 
 
+def q72_revisit_priority(spark, sf_dir):
+    """Freshness-driven revisit scheduling (adaptive re-crawl, cf. Cho &
+    Garcia-Molina, "Effective Page Refresh Policies for Web Crawlers"):
+    per monitored source (user_id as the host key over the events
+    observation log), the change rate is estimated from consecutive
+    observations (value changed between fetches) and revisit priority =
+    change_rate × staleness_hours — frequently-changing, long-unvisited
+    sources bubble to the top of the recrawl frontier.
+
+    Shape: ONE lag window per source + one hash agg; 'now' is the corpus
+    max-ts via a 1-row-agg crossJoin (q29 idiom).  All arithmetic is exact
+    integer epoch-micros until the final rounded divisions."""
+    from pyspark.sql import Window
+
+    e = read(spark, sf_dir, "events")
+    tsc = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = e.select(
+        "user_id",
+        F.unix_micros(tsc).alias("ts_us"),
+        F.col("value").alias("v"),
+        F.lag("value").over(w).alias("prev"),
+    )
+    per = obs.groupBy("user_id").agg(
+        F.count("prev").alias("n_intervals"),
+        F.sum(
+            F.when(F.col("prev").isNotNull() & (F.col("v") != F.col("prev")), 1)
+            .otherwise(0)
+        ).alias("n_changes"),
+        F.max("ts_us").alias("last_us"),
+    )
+    now = e.agg(F.max(F.unix_micros(tsc)).alias("now_us"))
+    rate = F.round(
+        F.col("n_changes").cast("double")
+        / F.greatest(F.col("n_intervals"), F.lit(1)).cast("double"),
+        6,
+    )
+    stale_h = F.round(
+        (F.col("now_us") - F.col("last_us")).cast("double") / F.lit(3600000000.0), 6
+    )
+    return (
+        per.crossJoin(F.broadcast(now))
+        .select(
+            "user_id",
+            "n_intervals",
+            F.col("n_changes").cast("long").alias("n_changes"),
+            rate.alias("change_rate"),
+            stale_h.alias("staleness_hours"),
+            F.round(rate * stale_h, 6).alias("revisit_priority"),
+        )
+    )
+
+
 def q44_ann_cosine_arrow(spark, sf_dir):
     """Arrow/numpy fast path of q34 — identical results, BLAS-vectorized."""
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
@@ -660,6 +713,7 @@ QUERIES = {
     "q69_leakage_free_split": q69_leakage_free_split,
     "q70_unigram_logprob": q70_unigram_logprob,
     "q71_host_pagerank": q71_host_pagerank,
+    "q72_revisit_priority": q72_revisit_priority,
 }
 
 def _ivf_oracle_sql(
@@ -1154,6 +1208,23 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "(CAST(coalesce(s2.s, 0) AS DOUBLE) / 1000000000.0), 9) AS rank "
         "FROM nodes nd LEFT JOIN s2 ON s2.host = nd.host, n) "
         "SELECT host, rank FROM r2"
+    ),
+    "q72_revisit_priority": (
+        "WITH obs AS (SELECT user_id, epoch_us(ts) AS ts_us, value AS v, "
+        "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+        "FROM events), "
+        "per AS (SELECT user_id, CAST(count(prev) AS BIGINT) AS n_intervals, "
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND v <> prev THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_changes, CAST(max(ts_us) AS BIGINT) AS last_us FROM obs GROUP BY user_id), "
+        "now_t AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS now_us FROM events) "
+        "SELECT user_id, n_intervals, n_changes, "
+        "round(CAST(n_changes AS DOUBLE) / CAST(greatest(n_intervals, 1) AS DOUBLE), 6) "
+        "AS change_rate, "
+        "round(CAST(now_us - last_us AS DOUBLE) / 3600000000.0, 6) AS staleness_hours, "
+        "round(round(CAST(n_changes AS DOUBLE) / CAST(greatest(n_intervals, 1) AS DOUBLE), 6) "
+        "* round(CAST(now_us - last_us AS DOUBLE) / 3600000000.0, 6), 6) "
+        "AS revisit_priority "
+        "FROM per, now_t"
     ),
     "q40_embedding_neardup": (
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

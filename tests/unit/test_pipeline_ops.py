@@ -705,3 +705,34 @@ def test_pagerank_hub_ranks_highest_and_is_partition_invariant(spark):
         for row in graph.pagerank(e.repartition(13), n_rounds=3).collect()
     }
     assert r == r2
+
+
+def test_revisit_priority_ranks_changing_stale_sources_first(spark, tmp_path):
+    """Source 1 changes every fetch and was seen long ago -> top priority;
+    source 2 never changes -> priority 0; source 3 changes but was seen
+    just now -> low priority."""
+    from datetime import datetime
+
+    from crawlspark import pipeline_queries
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(5):  # source 1: value flips every observation, old
+        rows.append((i, datetime(2024, 1, 1, i), 1, "fetch", float(i % 2), "{}"))
+    for i in range(5):  # source 2: constant value
+        rows.append((10 + i, datetime(2024, 1, 2, i), 2, "fetch", 7.0, "{}"))
+    for i in range(5):  # source 3: flips, but freshly observed
+        rows.append((20 + i, datetime(2024, 1, 3, i), 3, "fetch", float(i % 2), "{}"))
+    d = str(tmp_path / "t")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(d + "/events.parquet")
+    out = {
+        r["user_id"]: r
+        for r in pipeline_queries.QUERIES["q72_revisit_priority"](spark, d).collect()
+    }
+    assert out[1]["change_rate"] == 1.0 and out[3]["change_rate"] == 1.0
+    assert out[2]["change_rate"] == 0.0 and out[2]["revisit_priority"] == 0.0
+    assert out[3]["staleness_hours"] == 0.0  # source 3 holds the corpus max ts
+    assert out[3]["revisit_priority"] == 0.0  # fresh -> nothing to revisit yet
+    assert out[1]["revisit_priority"] > 0  # changing AND stale -> act
