@@ -183,6 +183,9 @@ def test_no_query_plans_a_cartesian_product(spark):
         "q46_tfidf",             # 1-row N crossJoin(broadcast)
         "q57_ann_ivf",           # 16-row codebook + 8-row query side
         "q67_mixture_rebalance", # 1-row total crossJoin(broadcast)
+        "q70_unigram_logprob",   # 1-row corpus-total crossJoin(broadcast)
+        "q71_host_pagerank",     # 1-row node-count crossJoin(broadcast)
+        "q72_revisit_priority",  # 1-row now-ts crossJoin(broadcast)
     }
     offenders, bnlj_new = [], []
     for k, fn in sorted(m.queries().items()):
