@@ -242,3 +242,17 @@ def test_delta_frontier_merge_is_broadcast_anti_join(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_is_broadcast_hash_join(spark):
+    """q68's scale contract: the benchmark shingle set broadcasts (map-side
+    hash join over the training shingles) — the corpus must never be
+    shuffled by shingle for an eval-sized scrub side."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from crawlspark import dedup
+
+    bench = docs.filter(F.col("doc_id") % 50 == 7)
+    train = docs.filter(F.col("doc_id") % 50 != 7)
+    p = plan_of(dedup.decontaminate(train, bench))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
