@@ -172,7 +172,11 @@ class CrawlEngine:
         aggregation — it is filtered by ONE left-anti join against the
         (small) changed-key set, which AQE turns into a broadcast anti join:
         map-only over the live set, exactly how Iceberg applies equality-
-        delete files on read.  Only the changes themselves (bounded by
+        delete files on read.  (Should a long rebase interval let the change
+        set outgrow the broadcast threshold, the join degrades gracefully to
+        a shuffled anti join — per-wave WRITE cost stays O(changes);
+        frontier_merge_every is the knob that bounds the change set.)
+        Only the changes themselves (bounded by
         merge_every x per-wave change volume) go through a last-op-wins
         max_by over (wave, is_del) — a key can go pending -> retired ->
         pending again (recrawl), and a key added and retired in the same

@@ -556,6 +556,9 @@ def q70_unigram_logprob(spark, sf_dir):
     join back to the words (no broadcast hint — a web-scale vocabulary
     exceeds broadcast limits, q46 discipline), one per-doc hash agg.  The
     corpus total rides a 1-row-agg crossJoin (q29 idiom, no driver count).
+    Hot stopword keys skew the word-keyed join; the cf side is one row per
+    word (no buffering hazard) and the session's AQE skew-join splits the
+    oversized partitions at runtime.
 
     Determinism: a float SUM of logs would depend on partial-aggregate
     merge order, so each word's ln(cf) is rounded to 6dp and summed as
