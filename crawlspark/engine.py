@@ -230,6 +230,16 @@ class CrawlEngine:
             .unionByName(survivors)
         )
 
+    def maybe_rebase(self, waves_run: int) -> None:
+        """Apply the frontier rebase cadence: fold add/retire deltas into a
+        fresh pending snapshot every ``frontier_merge_every`` completed
+        waves (delta mode only).  The ONE place the cadence policy lives —
+        both the batch loop (run) and the streaming skin call this, so the
+        two drives cannot drift."""
+        me = self.cfg.frontier_merge_every
+        if self.cfg.frontier_mode != "snapshot" and me and waves_run % me == 0:
+            self._merge_frontier()
+
     def _merge_frontier(self) -> None:
         """Rebase: materialize the merge-on-read pending view into a new
         frontier snapshot at the current wave, so future reads scan one
@@ -419,7 +429,6 @@ class CrawlEngine:
     def run(self, max_waves: int = 50) -> int:
         wave = self.bootstrap()
         n = 0
-        delta_mode = self.cfg.frontier_mode != "snapshot"
         while n < max_waves and self.step():
             n += 1
             # periodic frontier rebase (delta mode): fold the add/retire
@@ -427,12 +436,7 @@ class CrawlEngine:
             # never accumulates unbounded deltas — Iceberg's periodic
             # rewrite of equality deletes.  Between rebases a wave writes
             # only its own changes.
-            if (
-                delta_mode
-                and self.cfg.frontier_merge_every
-                and n % self.cfg.frontier_merge_every == 0
-            ):
-                self._merge_frontier()
+            self.maybe_rebase(n)
             # periodic small-files compaction of the append-only deltas:
             # pure file-layout rewrite (row-identical, wave-pruning intact),
             # so crawl results are unaffected — asserted by the equality

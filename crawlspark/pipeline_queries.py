@@ -148,6 +148,18 @@ def q46_tfidf(spark, sf_dir):
     )
 
 
+def _md5_bucket(col, mod: int):
+    """Deterministic sampling bucket in [0, mod): two bytes of md5(col).
+    THE shared idiom behind q49/q67/q69 — auditable, stable under re-ids
+    and re-partitioning, token-identical to its DuckDB mirror
+    ``(ascii(substr(md5(x),1,1))*256 + ascii(substr(md5(x),2,1))) % mod``.
+    One definition so the three queries (and their mirrors) cannot drift."""
+    m = F.md5(col)
+    return (
+        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1))) % mod
+    ).cast("int")
+
+
 def q49_stratified_sample(spark, sf_dir):
     """Deterministic stratified downsampling per source — the per-domain
     rate-capping step of a training-corpus mix.  The sampling key is a
@@ -157,10 +169,7 @@ def q49_stratified_sample(spark, sf_dir):
     is a broadcast dimension).  Never rand()/sample(): non-deterministic
     samples cannot be audited or reproduced."""
     d = read(spark, sf_dir, "documents")
-    m = F.md5(F.col("text"))
-    bucket = (
-        F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1))
-    ) % 100
+    bucket = _md5_bucket(F.col("text"), 100)
     rate = F.lit(10) + (F.ascii(F.substring(F.col("source"), -1, 1)) % 5) * 10
     return (
         d.withColumn("bucket", bucket.cast("int"))
@@ -285,10 +294,18 @@ def q56_cluster_representatives(spark, sf_dir):
 
 
 def q57_ann_ivf(spark, sf_dir):
-    """IVF coarse-quantizer ANN: deterministic 16-cell codebook, 4-probe
-    search, exact rerank inside probed cells — the scale path the brief names
-    alongside LSH, and (unlike LSH) fully hash-checked against SQL."""
-    return simsearch.ivf_topk(read(spark, sf_dir, "embeddings"), k=5)
+    """IVF coarse-quantizer ANN: TRAINED 16-cell codebook, 4-probe search,
+    exact rerank inside probed cells — the scale path the brief names
+    alongside LSH, and (unlike LSH) fully hash-checked against SQL.
+    train_assign="driver" is the FAISS-style sample-trained quantizer and is
+    safe here BY CONTRACT: the embeddings table at bench/correctness SFs is
+    driver-sized (2k rows at sf0.1); at production scale the caller trains
+    on a sample (the operator default, train_assign="arrow", stays fully
+    distributed).  All training paths are bit-identical (equality-tested),
+    so the oracle is unaffected by the choice."""
+    return simsearch.ivf_topk(
+        read(spark, sf_dir, "embeddings"), k=5, train_assign="driver"
+    )
 
 
 def q58_frame_sample(spark, sf_dir):
@@ -493,10 +510,7 @@ def q67_mixture_rebalance(spark, sf_dir):
     rates = shares.crossJoin(F.broadcast(total)).select(
         "lang", rate_bp.alias("rate_bp")
     )
-    m = F.md5(F.col("text"))
-    bucket = (
-        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1))) % 10000
-    ).cast("int")
+    bucket = _md5_bucket(F.col("text"), 10000)
     return (
         d.withColumn("bucket", bucket)
         .join(rates, "lang")
@@ -534,10 +548,7 @@ def q69_leakage_free_split(spark, sf_dir):
         .join(labels, "doc_id", "left")
         .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("label"))
     )
-    m = F.md5(F.col("label").cast("string"))
-    bucket = (
-        (F.ascii(F.substring(m, 1, 1)) * 256 + F.ascii(F.substring(m, 2, 1))) % 10000
-    ).cast("int")
+    bucket = _md5_bucket(F.col("label").cast("string"), 10000)
     return lab.select(
         "doc_id",
         "label",

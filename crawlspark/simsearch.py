@@ -445,7 +445,7 @@ def ivf_topk(
     nprobe: int = 4,
     n_rounds: int = 2,
     assign: str = "arrow",
-    train_assign: str = "driver",
+    train_assign: str = "arrow",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -459,11 +459,12 @@ def ivf_topk(
     SQL-mirrorable end-to-end (q57's DuckDB oracle unrolls the same training
     rounds and hash-checks assignment, probe, and rerank, unlike the
     rows-only LSH path).  ``n_rounds=0`` reproduces the raw seeded codebook.
-    ``train_assign`` picks the training executor — "driver" (default: one
-    collect + local numpy, the FAISS-style sample-trained coarse quantizer;
-    at 100 TB pass a sampled frame to train_ivf_centroids yourself and feed
-    the codebook to ivf_assign_arrow), "arrow", or "hof"; all three produce
-    bit-identical centroids (equality-tested).
+    ``train_assign`` picks the training executor — "arrow" (default: fully
+    distributed, safe at any input size), "hof", or "driver" (one collect +
+    local numpy, the FAISS-style sample-trained coarse quantizer — opt in
+    ONLY when the frame you pass is known driver-sized, because it collects
+    the whole input's vectors); all three produce bit-identical centroids
+    (equality-tested).
 
     Scale shape: corpus assignment defaults to the Arrow path
     (``assign="arrow"`` — one numpy matmul per batch, see ivf_assign_arrow;

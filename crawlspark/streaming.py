@@ -150,16 +150,9 @@ def run_engine_stream(engine, checkpoint_dir: str, max_waves: int = 50) -> int:
             return
         if engine.step():
             state["waves"] += 1
-            # the batch loop's periodic frontier rebase lives in run(); a
-            # streaming drive must fold add/retire deltas on the same cadence
-            # or the merge-on-read view accumulates them without bound
-            me = engine.cfg.frontier_merge_every
-            if (
-                engine.cfg.frontier_mode != "snapshot"
-                and me
-                and state["waves"] % me == 0
-            ):
-                engine._merge_frontier()
+            # same rebase cadence as the batch loop — the policy lives in
+            # engine.maybe_rebase so the two drives cannot drift
+            engine.maybe_rebase(state["waves"])
         else:
             state["done"] = True
 

@@ -164,11 +164,16 @@ def idn_normalize_hosts(df, url_col: str = "url"):
     performs unicode CASE-FOLDING only (``F.lower`` is unicode-aware);
     punycode/NFC are not expressible in native column expressions, so this
     step is an Arrow-batched pandas UDF applied to the HOST substring only,
-    with a native non-ASCII pre-filter — ASCII URLs (the overwhelming
-    majority of a web corpus) pass through untouched on the codegen fast
-    path and never reach Python.  Run this BEFORE canonicalize on corpora
-    with international hosts; it is idempotent and composes with
-    canonicalize's own idempotence (both property-tested)."""
+    with a native non-ASCII SPLIT — ASCII URLs (the overwhelming majority
+    of a web corpus) go down a branch whose plan contains no Python stage
+    at all.  (A ``F.when(needs, udf(...))`` gate would NOT achieve that:
+    Spark hoists the pandas UDF into an unconditional ArrowEvalPython node
+    and applies the CASE WHEN afterward — measured, every ASCII row still
+    paid the Python round-trip — hence the filter/union shape.)  A
+    ``user@host`` userinfo prefix is preserved verbatim and excluded from
+    punycoding.  Run this BEFORE canonicalize on corpora with international
+    hosts; it is idempotent and composes with canonicalize's own
+    idempotence (both property-tested)."""
     # explicit functionType: the module's postponed annotations would leave
     # pandas_udf's type-hint inference with unresolvable string hints
     _idn_ascii = F.pandas_udf(
@@ -176,19 +181,25 @@ def idn_normalize_hosts(df, url_col: str = "url"):
     )
 
     u = F.trim(F.col(url_col))
-    hst = host(u)
+    hp = hostport(u)
+    # userinfo (user@) is not part of the IDN host; keep it verbatim
+    ui = F.regexp_extract(hp, r"^([^@]*@)", 1)
+    hst = F.regexp_replace(F.regexp_replace(hp, r"^[^@]*@", ""), r":\d+$", "")
     needs = hst.rlike(r"[^\x00-\x7F]")
     sch = scheme(u)
-    prt = _port(hostport(u))
+    prt = _port(hp)
     rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+(.*)", 1)
     rebuilt = F.concat(
         sch,
         F.lit("://"),
+        ui,
         _idn_ascii(hst),
         F.when(prt != "", F.concat(F.lit(":"), prt)).otherwise(F.lit("")),
         rest,
     )
-    return df.withColumn(url_col, F.when(needs, rebuilt).otherwise(F.col(url_col)))
+    ascii_side = df.filter(~needs)
+    intl_side = df.filter(needs).withColumn(url_col, rebuilt)
+    return ascii_side.unionByName(intl_side)
 
 
 def hash64(url: Column) -> Column:

@@ -216,13 +216,20 @@ def test_jaccard_hot_shingle_cut_precedes_collect(spark):
         int(m.group(1))
         for m in re.finditer(r"^\((\d+)\) ObjectHashAggregate", p, re.M)
     ]
-    filt_ids = [
-        int(m.group(1))
-        for m in re.finditer(r"^\((\d+)\) Filter", p, re.M)
-    ]
     assert agg_ids, "collect_set aggregate missing from plan"
-    # at least one Filter strictly before (leaf-ward of) every collect_set
-    assert any(f < min(agg_ids) for f in filt_ids)
+    # the MAX_DF filter specifically (condition on the df_sh window count —
+    # any other Filter, e.g. the lead()-isNotNull one, must not satisfy
+    # this check: the pre-fix plan also had leaf-ward filters) must sit
+    # strictly leaf-ward of every collect_set aggregate
+    maxdf_ids = []
+    for block in p.split("\n\n"):
+        head = re.match(r"\((\d+)\) Filter", block.lstrip())
+        if head and re.search(r"Condition : \(df_sh#\d+L? <= \d+\)", block):
+            maxdf_ids.append(int(head.group(1)))
+    assert maxdf_ids, "max_df stop-shingle Filter missing from plan"
+    assert all(f < min(agg_ids) for f in maxdf_ids), (
+        f"max_df filter {maxdf_ids} does not precede collect_set {agg_ids}"
+    )
 
 
 def test_delta_frontier_merge_is_broadcast_anti_join(spark, tmp_path):

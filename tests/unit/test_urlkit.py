@@ -210,3 +210,45 @@ def test_idn_host_ascii_fallback_is_deterministic():
     b = urlkit._idn_host_ascii_one("BAD..LÄBEL.example")
     assert a == b == "bad..läbel.example"
     assert urlkit._idn_host_ascii_one(None) is None
+
+
+def test_idn_python_stage_only_sees_non_ascii_rows(spark):
+    """The ASCII/intl split must be two plan branches: the pandas UDF's
+    ArrowEvalPython node consumes the RLIKE(non-ASCII) filter's output
+    directly, and the ASCII branch contains no Python stage at all.  (A
+    when(needs, udf).otherwise(url) gate does NOT give this — Spark hoists
+    the UDF into an unconditional ArrowEvalPython over every row.)"""
+    import contextlib
+    import io
+    import re
+
+    df = spark.createDataFrame(
+        [(1, "https://münchen.example/a"), (2, "https://ascii.example/b")],
+        "id long, url string",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        urlkit.idn_normalize_hosts(df).explain("formatted")
+    p = buf.getvalue()
+    assert p.count("ArrowEvalPython") >= 1
+    m = re.search(r"ArrowEvalPython \(\d+\)\n\s*\+- \* Filter \((\d+)\)", p)
+    assert m, "Python stage must sit directly above a Filter"
+    cond = re.search(rf"\({m.group(1)}\) Filter.*?Condition : (.*)", p, re.S)
+    assert cond and cond.group(1).lstrip().startswith("RLIKE"), (
+        "the Python stage's input filter must KEEP only non-ASCII hosts"
+    )
+
+
+def test_idn_preserves_userinfo_and_unifies_host(spark):
+    """user@ userinfo stays verbatim; only the host is punycoded, so the
+    unicode and punycode twins (with identical userinfo) share one URL."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://bob@münchen.example:8443/x?q=1"),
+            (2, "https://bob@xn--mnchen-3ya.example:8443/x?q=1"),
+        ],
+        "id long, url string",
+    )
+    out = {r["id"]: r["url"] for r in urlkit.idn_normalize_hosts(df).collect()}
+    assert out[1] == "https://bob@xn--mnchen-3ya.example:8443/x?q=1"
+    assert out[1] == out[2]
