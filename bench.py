@@ -54,6 +54,8 @@ HEADLINE = [
     "q61_cdc_chunks",
     "q62_training_batches",
     "q64_link_extraction",
+    # round-4: the composed Arrow-CDC pipeline (map-only chunking twin)
+    "q73_chunk_dedup_arrow",
 ]
 
 
@@ -454,27 +456,51 @@ def main():
         }
 
     total = round(sum(q_secs.values()) + f_sec, 3)
+    full_record = {
+        "metric": "frontier throughput (URLs scheduled+deduped/sec) + headline query suite",
+        "value": total,
+        "unit": "sec",
+        "queries": q_secs,
+        "sf": sf,
+        "frontier": {
+            "n_urls_in": f_in,
+            "n_scheduled": f_out,
+            "sec": round(f_sec, 3),
+            "urls_per_sec": round(thr_big, 1),
+            "take_k_per_host": 2000,
+        },
+        "bloom_seen_set": bloom,
+        "cuckoo_seen_set": cuckoo,
+        "rolling_arrow_twins": rolling_twins,
+        "frontier_wave_cost": wave_cost,
+        "scaling": scaling,
+    }
+    # Full record goes to a file: the driver captures only the TAIL of
+    # stdout, and r3's single fat line outgrew that window — the line's head
+    # (all per-query timings) was truncated away and BENCH_r03.json came back
+    # "parsed": null (VERDICT r3 "What's wrong #2").
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    tag = os.environ.get("SPARK_GRAFT_ROUND", "latest")
+    full_path = os.path.join(bench_dir, f"bench_{tag}.json")
+    with open(full_path, "w") as fh:
+        json.dump(full_record, fh, indent=1)
+    sys.stderr.write(f"full bench record -> {full_path}\n")
+    # The final stdout line stays COMPACT (metric/value/unit/queries/sf plus
+    # the two headline scalars) — well under the driver's capture window.
     print(
         json.dumps(
             {
-                "metric": "frontier throughput (URLs scheduled+deduped/sec) + headline query suite",
+                "metric": full_record["metric"],
                 "value": total,
                 "unit": "sec",
                 "queries": q_secs,
                 "sf": sf,
-                "frontier": {
-                    "n_urls_in": f_in,
-                    "n_scheduled": f_out,
-                    "sec": round(f_sec, 3),
-                    "urls_per_sec": round(thr_big, 1),
-                    "take_k_per_host": 2000,
-                },
-                "bloom_seen_set": bloom,
-                "cuckoo_seen_set": cuckoo,
-                "rolling_arrow_twins": rolling_twins,
-                "frontier_wave_cost": wave_cost,
-                "scaling": scaling,
-            }
+                "frontier_urls_per_sec": round(thr_big, 1),
+                "scaling_efficiency": scaling.get("efficiency"),
+                "full_record": f"BENCH/bench_{tag}.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -23,6 +23,46 @@ from pyspark.sql import functions as F
 from crawlspark import textproc
 
 
+def _capped_bucket_rows(exploded: DataFrame, key_cols, max_bucket: int):
+    """Shared hot-bucket cut: window-count rows per bucket key on the same
+    exchange the downstream consumer needs, drop buckets above
+    ``max_bucket``."""
+    counted = exploded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy(*key_cols))
+    )
+    return counted.filter(F.col("bucket_n") <= max_bucket)
+
+
+def bucket_cap_stats(exploded: DataFrame, key_cols, max_bucket: int) -> DataFrame:
+    """NO SILENT CAPS (ADVICE r3): the observability twin of every capped
+    candidate generator.  One row — (n_rows, rows_dropped, buckets_dropped,
+    max_bucket_n) — telling a caller whether the hot-bucket cap actually bit,
+    so 'no near-dups there' is distinguishable from 'the cap dropped them'.
+    rows_dropped > 0 on a corpus that was NOT exact-deduped first is the
+    operator-contract violation signal.
+
+    A separate lazily-priced DataFrame rather than an in-flight
+    ``Observation``: Spark's CollectMetrics node comes back EMPTY when the
+    observed subtree feeds this family's explode-of-nested-HOF plans
+    (measured on 4.1: ``Observation.getRow`` returns a 0-field row), so the
+    honest interface is an explicit diagnostics query.  Shape: ONE
+    map-side-combined groupBy over the bucket keys + a 1-row agg — a viral
+    bucket's count is sharded across input partitions (partial aggregation),
+    so the diagnostics path is itself skew-proof."""
+    per_bucket = exploded.groupBy(*key_cols).agg(F.count("*").alias("bucket_n"))
+    over = F.col("bucket_n") > max_bucket
+    return per_bucket.agg(
+        F.coalesce(F.sum("bucket_n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(over, F.col("bucket_n")).otherwise(F.lit(0))), F.lit(0)
+        ).cast("long").alias("rows_dropped"),
+        F.coalesce(
+            F.sum(F.when(over, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).cast("long").alias("buckets_dropped"),
+        F.coalesce(F.max("bucket_n"), F.lit(0)).cast("long").alias("max_bucket_n"),
+    )
+
+
 def exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: md5 content hash -> (content_hash, keeper_id, n_copies).
     One hash-shuffle on the 128-bit content hash."""
@@ -78,13 +118,37 @@ def jaccard_pairs(
     n: int = 3,
     max_df: int = 20,
     threshold: float = 0.5,
+    skew: str = "window",
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shared-shingle candidate join.
 
     Shingles appearing in more than ``max_df`` docs are dropped from pairing
     (stop-shingle cut: bounds any bucket to max_df², keeping the join linear
     in data size); set sizes use ALL shingles, so the estimate is
-    conservative.  jaccard = |shared| / (|A| + |B| - |shared|)."""
+    conservative.  jaccard = |shared| / (|A| + |B| - |shared|).
+
+    ``skew`` picks how the per-shingle document frequency is counted —
+    bit-identical results either way (equality-tested):
+
+    - "window" (DEFAULT): ``count(*) over (partition by sh)`` on the same
+      hash(sh) exchange the doclist aggregation needs — the single-pass
+      shape (1 scan / 3 exchanges / 0 joins, plan-asserted).  CONTRACT: a
+      viral shingle's rows all land in ONE window task; WindowExec sorts
+      through a spillable external sorter, so this is a bounded linear-work
+      STRAGGLER, never an OOM — measured on a synthetic million-occurrence
+      shingle (BENCH/BASELINE.md §"degenerate skew"), where the straggler
+      stays within ~2x of the sharded form on this box.
+    - "twolevel": ``groupBy(sh).count()`` + equi join — the partial
+      aggregation shards a hot shingle's count across ALL input partitions
+      before a 1-row-per-shingle merge, so no task ever materializes the
+      viral shingle's row set; costs one extra exchange + join (AQE handles
+      the join skew).  Flip to this when shingle-frequency skew dominates
+      the runtime (the straggler shows up as one long task in the window
+      stage).
+
+    NO SILENT CAPS: ``jaccard_stop_shingle_stats`` (same df/n/max_df)
+    reports how many shingle rows and distinct shingles the max_df cut
+    dropped, and the hottest document frequency seen."""
     # 8-byte shingle keys everywhere (see shingle_hashes); a collision would
     # merge two shingles — P ~ n²/2^65, negligible and deterministic.
     # SINGLE-PASS shape: the shingle pipeline's window already hash-partitions
@@ -114,10 +178,15 @@ def jaccard_pairs(
     # collect_set buffer then never holds more than max_df entries.  Same
     # single-pass shape: 1 scan, 3 exchanges (doc_id window, sh window+agg,
     # pair agg), 0 joins — plan-asserted in tests/unit/test_plans.py.
-    df_sh = F.count("*").over(Window.partitionBy("sh"))
+    if skew == "twolevel":
+        counts = sh.groupBy("sh").agg(F.count("*").alias("df_sh"))
+        counted = shsz.join(counts, "sh")
+    else:
+        counted = shsz.withColumn(
+            "df_sh", F.count("*").over(Window.partitionBy("sh"))
+        )
     doclists = (
-        shsz.withColumn("df_sh", df_sh)
-        .filter(F.col("df_sh") <= max_df)
+        counted.filter(F.col("df_sh") <= max_df)
         .groupBy("sh")
         .agg(F.collect_set(F.struct("doc_id", "n_sh")).alias("ds"))
         .select(F.array_sort("ds").alias("ds"))
@@ -154,6 +223,17 @@ def jaccard_pairs(
         .select("doc_a", "doc_b", "n_shared", "jaccard")
     )
     return out
+
+
+def jaccard_stop_shingle_stats(
+    df: DataFrame, text_col: str = "text", n: int = 3, max_df: int = 20
+) -> DataFrame:
+    """Observability twin of ``jaccard_pairs``'s max_df stop-shingle cut
+    (no silent caps — see bucket_cap_stats): one row of (n_rows,
+    rows_dropped, buckets_dropped, max_bucket_n) where a 'bucket' is a
+    distinct shingle and max_bucket_n is the hottest shingle's document
+    frequency."""
+    return bucket_cap_stats(shingle_hashes(df, text_col, n), ["sh"], max_df)
 
 
 def decontaminate(
@@ -217,8 +297,33 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n_perm: int = N_PE
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def lsh_candidate_pairs(
+def _lsh_banded(sigs: DataFrame, n_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bh) band-hash rows — ONE posexplode pass shared by the
+    candidate join and its cap-stats twin, so the two can never drift."""
+    r = n_perm // bands
+    band_hash = F.array(
+        *[
+            F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.posexplode(band_hash).alias("band", "bh"))
+
+
+def lsh_bucket_cap_stats(
     sigs: DataFrame, n_perm: int = N_PERM, bands: int = 16, max_bucket: int = 1000
+) -> DataFrame:
+    """Observability twin of ``lsh_candidate_pairs``'s bucket cap (no silent
+    caps — see bucket_cap_stats): call with the SAME parameters to learn
+    whether (and how hard) the cap bit."""
+    return bucket_cap_stats(_lsh_banded(sigs, n_perm, bands), ["band", "bh"], max_bucket)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_perm: int = N_PERM,
+    bands: int = 16,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Band the signature (r = n_perm/bands rows per band), bucket-join docs
     sharing any band hash: (doc_a, doc_b, est_jaccard).
@@ -233,21 +338,14 @@ def lsh_candidate_pairs(
     window count on the same (band, bh) exchange the join's left side makes).
     Exact duplicates must therefore be collapsed upstream (dedup.exact_groups
     — q42 does this); among genuine near-dups a >max_bucket bucket is
-    astronomically unlikely for r ≥ 4 band bits, so recall is unaffected."""
-    r = n_perm // bands
-    band_hash = F.array(
-        *[
-            F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)])
-            for b in range(bands)
-        ]
-    )
+    astronomically unlikely for r ≥ 4 band bits, so recall is unaffected.
+    The cap is NOT silent: ``lsh_bucket_cap_stats`` (same parameters)
+    reports rows/buckets dropped."""
     # single posexplode pass — a union of per-band projections would
     # recompute the (expensive) signature aggregation once per band
-    exploded = sigs.select(
-        "doc_id", F.posexplode(band_hash).alias("band", "bh")
-    ).withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
-    ).filter(F.col("bucket_n") <= max_bucket)
+    exploded = _capped_bucket_rows(
+        _lsh_banded(sigs, n_perm, bands), ["band", "bh"], max_bucket
+    )
     a = exploded.select(F.col("doc_id").alias("doc_a"), "bh", "band")
     b_ = exploded.select(F.col("doc_id").alias("doc_b"), "bh", "band")
     cand = (
@@ -310,8 +408,35 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def _simhash_chunked(sh: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, simhash, band, chunk) pigeonhole-chunk rows — shared by the
+    pair join and its cap-stats twin."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    return sh.select(
+        "doc_id", F.col("simhash"), F.posexplode(chunk_arr).alias("band", "chunk")
+    )
+
+
+def simhash_bucket_cap_stats(
+    sh: DataFrame, bands: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """Observability twin of ``simhash_pairs``'s bucket cap (no silent
+    caps — see bucket_cap_stats)."""
+    return bucket_cap_stats(_simhash_chunked(sh, bands), ["band", "chunk"], max_bucket)
+
+
 def simhash_pairs(
-    sh: DataFrame, max_hamming: int = 6, bands: int = 4, max_bucket: int = 1000
+    sh: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance: band the 64-bit fingerprint into
     ``bands`` 16-bit chunks; any pair within max_hamming < bands must share
@@ -322,21 +447,13 @@ def simhash_pairs(
     identical docs share all chunks, so a viral page's copies form one
     quadratic bucket.  (band, chunk) buckets above ``max_bucket`` are dropped
     before the self-join via a window count on the join's own exchange; with
-    16-bit chunks a genuine near-dup bucket that large is vanishingly rare."""
-    width = 64 // bands
-    mask = (1 << width) - 1
-    chunk_arr = F.array(
-        *[
-            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
-            for b in range(bands)
-        ]
-    )
+    16-bit chunks a genuine near-dup bucket that large is vanishingly rare.
+    The cap is NOT silent: ``simhash_bucket_cap_stats`` reports what it
+    dropped."""
     # single posexplode pass (see lsh_candidate_pairs for rationale)
-    exploded = sh.select(
-        "doc_id", F.col("simhash"), F.posexplode(chunk_arr).alias("band", "chunk")
-    ).withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "chunk"))
-    ).filter(F.col("bucket_n") <= max_bucket)
+    exploded = _capped_bucket_rows(
+        _simhash_chunked(sh, bands), ["band", "chunk"], max_bucket
+    )
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
     )
@@ -571,20 +688,12 @@ def lsh_pairs_touching(
     cost is O(|delta| x bucket) instead of the corpus self-join; output is
     normalized (doc_a < doc_b) and equals the full recompute filtered to
     delta-touching pairs (equality-tested)."""
-    r = n_perm // bands
-    band_hash = F.array(
-        *[
-            F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)])
-            for b in range(bands)
-        ]
-    )
     # bucket cap counted over the FULL corpus side (not the delta) so the
-    # result stays bit-equal to the capped full recompute (equality-tested)
-    exploded = sigs.select(
-        "doc_id", F.posexplode(band_hash).alias("band", "bh")
-    ).withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
-    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    # result stays bit-equal to the capped full recompute (equality-tested);
+    # cap observability: lsh_bucket_cap_stats over the same sigs
+    exploded = _capped_bucket_rows(
+        _lsh_banded(sigs, n_perm, bands), ["band", "bh"], max_bucket
+    ).drop("bucket_n")
     d = exploded.join(delta_ids.select("doc_id"), "doc_id", "left_semi")
     a = d.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b_ = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bh")

@@ -74,7 +74,35 @@ class EngineConfig:
     # rewrite the full pending set every wave (the pre-round-3 layout, kept
     # for comparison — write cost O(live frontier))
     frontier_mode: str = "delta"
-    frontier_merge_every: int | None = 8  # rebase the pending set every N waves
+    # Rebase cadence: fold frontier deltas into a fresh snapshot once the
+    # delta BACKLOG (committed waves since the last snapshot, read from
+    # persistent state — never an in-process counter, so resume-heavy drive
+    # patterns like repeated run(max_waves=1) still rebase) reaches this many
+    # waves.  POLICY, not frozen state: safe to change on resume — it only
+    # decides when the merge-on-read view is materialized, never what it
+    # contains (asserted by test_resume_with_changed_merge_cadence_ok).
+    frontier_merge_every: int | None = 8
+    # Adaptive-crawl priority (closes the q71/q72 loop): an optional
+    # (host, host_priority double) table — lower sorts FIRST, so feed e.g.
+    # host_priority = -pagerank or -revisit_priority.  When set, step() joins
+    # it onto the wave's candidates (broadcast: the table is host-cardinality)
+    # and the canonical global crawl order becomes
+    # (host_priority, *sched.CANONICAL_ORDER_COLS) — high-authority hosts are
+    # fetched first, and the order stays a PURE sort key (parallelism-
+    # invariant, resumable).  Hosts absent from the table get
+    # default_host_priority.  Policy, not frozen state — like take_k, it
+    # changes the schedule, never the fetched set or the per-host politeness
+    # clock (host_priority is host-constant, so within-host order and the
+    # token-bucket offsets are untouched).
+    priority_table: DataFrame | None = field(default=None, repr=False, compare=False)
+    default_host_priority: float = 0.0
+    # Global per-wave admission budget (requires priority_table to be useful,
+    # valid without): each wave fetches only the top wave_k candidate rows in
+    # (host_priority, per-host order) — the capacity-bound adaptive crawl,
+    # where high-rank hosts drain in earlier waves.  Like take_k, wave
+    # COMPOSITION changes but the final canonical order / seen set /
+    # documents do not (equality-suite-asserted).
+    wave_k: int | None = None
 
 
 class CrawlEngine:
@@ -230,14 +258,27 @@ class CrawlEngine:
             .unionByName(survivors)
         )
 
-    def maybe_rebase(self, waves_run: int) -> None:
+    def maybe_rebase(self) -> None:
         """Apply the frontier rebase cadence: fold add/retire deltas into a
-        fresh pending snapshot every ``frontier_merge_every`` completed
-        waves (delta mode only).  The ONE place the cadence policy lives —
-        both the batch loop (run) and the streaming skin call this, so the
-        two drives cannot drift."""
+        fresh pending snapshot once the committed delta backlog reaches
+        ``frontier_merge_every`` waves (delta mode only).  The ONE place the
+        cadence policy lives — both the batch loop (run) and the streaming
+        skin call this, so the two drives cannot drift.
+
+        The backlog is measured from PERSISTENT state (latest committed wave
+        minus latest complete snapshot wave), never from an in-process
+        counter: a resume-heavy drive pattern — repeated ``run(max_waves=1)``
+        or stream restarts, each of which resets any per-run counter — must
+        still rebase on cadence, or the change set grows unbounded and the
+        merge-on-read view degrades to a shuffled anti join."""
         me = self.cfg.frontier_merge_every
-        if self.cfg.frontier_mode != "snapshot" and me and waves_run % me == 0:
+        if self.cfg.frontier_mode == "snapshot" or not me:
+            return
+        wave = self.store.latest_wave()
+        if wave is None:
+            return
+        base = self.store.latest_snapshot_wave("frontier", wave)
+        if base is None or wave - base >= me:
             self._merge_frontier()
 
     def _merge_frontier(self) -> None:
@@ -250,6 +291,36 @@ class CrawlEngine:
         if wave is None or self.store.latest_snapshot_wave("frontier", wave) == wave:
             return
         self.store.write_snapshot(self._read_pending(wave), "frontier", wave)
+
+    def _with_host_priority(self, df: DataFrame) -> DataFrame:
+        """Join the adaptive host-priority signal (cfg.priority_table — e.g.
+        -pagerank from graph.pagerank or -revisit_priority from the q72
+        estimator) onto host-keyed rows.  Broadcast by construction: the
+        table is host-cardinality, orders of magnitude below URL cardinality.
+        Missing hosts coalesce to default_host_priority so a partial signal
+        never drops rows; with no table configured the column is a literal
+        (no join in the plan at all)."""
+        dflt = F.lit(float(self.cfg.default_host_priority))
+        pt = self.cfg.priority_table
+        if pt is None:
+            return df.withColumn("host_priority", dflt)
+        pr = pt.select(
+            "host", F.col("host_priority").cast("double").alias("_hp")
+        )
+        return (
+            df.join(F.broadcast(pr), "host", "left")
+            .withColumn("host_priority", F.coalesce(F.col("_hp"), dflt))
+            .drop("_hp")
+        )
+
+    # global admission order for the capacity-bound wave budget: host
+    # priority first, then the same pure per-host key the scheduler uses.
+    # Within one host this restricts to exactly sched.HOST_ORDER, so a
+    # wave's admitted rows are always a PREFIX of each host's order — the
+    # per-host token-bucket clock (cumulative count per host) is therefore
+    # untouched by admission, which is what keeps the final canonical crawl
+    # order equal to the uncapped run's.
+    _ADMISSION_ORDER = ["host_priority", *sched.HOST_ORDER[:-1], "host", "url_h"]
 
     def _host_counts(self, wave: int) -> DataFrame | None:
         """Per-host fetched-so-far counts for the token-bucket clock.
@@ -302,6 +373,19 @@ class CrawlEngine:
 
         # budgets + per-host priority rank + top-k + token-bucket schedule
         cand = polite.attach_budget(cand, self.budgets)
+        # adaptive admission (the q71/q72 loop closed): top wave_k candidate
+        # rows by (host_priority, per-host key) fetch this wave; the rest
+        # simply stay pending (delta mode never materializes the remainder).
+        # orderBy+limit plans as TakeOrderedAndProject — per-partition top-k
+        # then one k-row merge, no global sort, scale-safe for bounded k.
+        if cfg.wave_k:
+            if cfg.frontier_mode == "snapshot":
+                raise ValueError(
+                    "wave_k requires frontier_mode='delta' (snapshot mode "
+                    "rewrites the full pending set and would drop unadmitted rows)"
+                )
+            cand = self._with_host_priority(cand)
+            cand = cand.orderBy(*self._ADMISSION_ORDER).limit(cfg.wave_k)
         # delta frontier mode never materializes the not-scheduled remainder:
         # unscheduled pending rows simply stay pending (no add, no retire),
         # so the per-wave write is O(changes).  Snapshot mode must carry them
@@ -436,7 +520,7 @@ class CrawlEngine:
             # never accumulates unbounded deltas — Iceberg's periodic
             # rewrite of equality deletes.  Between rebases a wave writes
             # only its own changes.
-            self.maybe_rebase(n)
+            self.maybe_rebase()
             # periodic small-files compaction of the append-only deltas:
             # pure file-layout rewrite (row-identical, wave-pruning intact),
             # so crawl results are unaffected — asserted by the equality
@@ -509,12 +593,22 @@ class CrawlEngine:
 
     def crawl_log(self) -> DataFrame:
         """Committed crawl log with the canonical global crawl_seq (G4) —
-        the order that must equal the sequential reference's (BASELINE.json:6)."""
+        the order that must equal the sequential reference's (BASELINE.json:6).
+
+        With cfg.priority_table set, the canonical key gains host_priority as
+        its LEADING column (high-authority hosts first) — still a pure sort
+        key over stored columns, so the adaptive order is exactly as
+        deterministic, parallelism-invariant, and resumable as the static
+        one (equality-suite-asserted against a driver-side re-sort)."""
         wave = self.store.latest_wave() or 0
         raw = self._crawl_log_raw(wave)
         if raw is None:
             return self.spark.createDataFrame([], T.StructType([]))
         keyed = sched.with_canonical_key(raw)
+        if self.cfg.priority_table is not None:
+            keyed = self._with_host_priority(keyed)
+            order = ["host_priority", *sched.CANONICAL_ORDER_COLS]
+            return sched.assign_global_seq(keyed, order_cols=order).drop("ord_phase")
         return sched.assign_global_seq(keyed).drop("ord_phase")
 
     def documents(self) -> DataFrame:

@@ -419,6 +419,38 @@ def q63_chunk_dedup_stats(spark, sf_dir):
     )
 
 
+def q73_chunk_dedup_arrow(spark, sf_dir):
+    """q63's chunk-level dedup composed over the MAP-ONLY Arrow CDC twin
+    (textproc.cdc_chunks(variant="arrow") -> rolling.cdc_chunks_arrow): the
+    selection flag pipeline callers flip to kill the giant-document window
+    skew, exercised end-to-end.  Driver check is rows-only (chunk identity
+    is xxhash64, which DuckDB lacks); the strong check is the unit equality
+    test asserting this whole pipeline is bit-equal to the codegen
+    hash_fn="xxh" form, which in turn is hash-checked at the q61/q63 md5
+    oracles' plan shape."""
+    ch = textproc.cdc_chunks(
+        read(spark, sf_dir, "documents"), hash_fn="xxh", variant="arrow"
+    )
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "chunk_start")).alias("k"),
+            F.min("chunk_len").alias("chunk_len"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            "chunk_hash",
+            "n_occurrences",
+            "n_docs",
+            F.col("k.doc_id").alias("keeper_doc"),
+            F.col("k.chunk_start").cast("long").alias("keeper_start"),
+            "chunk_len",
+        )
+    )
+
+
 def q64_link_extraction(spark, sf_dir):
     """The discovery chain extract -> resolve -> canonicalize as one checked
     query: deterministic synthetic anchors (root-relative, path-relative,
@@ -728,6 +760,7 @@ QUERIES = {
     "q70_unigram_logprob": q70_unigram_logprob,
     "q71_host_pagerank": q71_host_pagerank,
     "q72_revisit_priority": q72_revisit_priority,
+    "q73_chunk_dedup_arrow": q73_chunk_dedup_arrow,
 }
 
 def _ivf_oracle_sql(

@@ -293,6 +293,7 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: str = "arrow",
+    driver_max_rows: int = 200_000,
 ) -> DataFrame:
     """Lloyd's k-means coarse codebook.  Returns (cid, cv: array<double>).
 
@@ -323,14 +324,18 @@ def train_ivf_centroids(
     recipe (FAISS trains IVF codebooks on a driver-sized sample), collapsing
     2·n_rounds+ Spark jobs into one.  Same seeded init, same matmul-argmax
     tie-breaking, same fixed-point integer means — bit-identical to the
-    distributed paths (equality-tested three ways).  Contract: the frame
-    passed here must be driver-sized (pass a sample at scale); the
-    distributed rounds remain for training sets that are not."""
+    distributed paths (equality-tested three ways).  The driver-sized
+    contract is ENFORCED, not prose (ADVICE r3): a cheap count gates the
+    collect, and anything above ``driver_max_rows`` silently falls back to
+    the distributed Arrow path — legal precisely because the two paths are
+    bit-identical, so the fallback changes cost, never results."""
     import pandas as pd
 
     d = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("norm", _norm(F.col("v")))
+    if assign == "driver" and d.count() > driver_max_rows:
+        assign = "arrow"
     if assign == "driver":
         rows = sorted(
             (int(r["vid"]), list(r["v"])) for r in d.select("vid", "v").collect()

@@ -152,7 +152,7 @@ def run_engine_stream(engine, checkpoint_dir: str, max_waves: int = 50) -> int:
             state["waves"] += 1
             # same rebase cadence as the batch loop — the policy lives in
             # engine.maybe_rebase so the two drives cannot drift
-            engine.maybe_rebase(state["waves"])
+            engine.maybe_rebase()
         else:
             state["done"] = True
 

@@ -103,6 +103,7 @@ def fingerprints(
     k: int = 8,
     w: int = 16,
     hash_fn: str = "md5",
+    variant: str = "codegen",
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     k-char gram, keep the minimum hash of each w-window, distinct per doc.
@@ -114,8 +115,26 @@ def fingerprints(
     the variant the map-only Arrow twin ``rolling.fingerprints_arrow``
     reproduces bit-for-bit, since md5 has no vectorized numpy form).
 
+    ``variant``: "codegen" (default — the exploded char/window form below)
+    or "arrow" (the map-only mapInPandas twin ``rolling.fingerprints_arrow``
+    — one row per doc end-to-end, ZERO exchanges, so a giant document is
+    one local-numpy task instead of one giant window partition; requires
+    hash_fn="xxh" since md5 has no vectorized form).  Both variants are
+    bit-equal on hash_fn="xxh" (equality-tested); pipeline callers flip the
+    flag without importing rolling directly.
+
     Output: (doc_id, fp) exploded — the near-dup building block that survives
     small edits (a changed char perturbs <= k+w-1 windows)."""
+    if variant == "arrow":
+        if hash_fn != "xxh":
+            raise ValueError(
+                "variant='arrow' requires hash_fn='xxh' (md5 has no "
+                "vectorized numpy form; the md5 codegen variant is the "
+                "DuckDB-oracle shape)"
+            )
+        from crawlspark import rolling
+
+        return rolling.fingerprints_arrow(df, text_col=text_col, k=k, w=w)
     from pyspark.sql import Window
 
     # explode CHARACTERS first, assemble each k-gram from window leads, md5
@@ -190,7 +209,11 @@ def pack_sequences(
 
 
 def cdc_chunks(
-    df: DataFrame, w: int = 8, text_col: str = "text", hash_fn: str = "md5"
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    hash_fn: str = "md5",
+    variant: str = "codegen",
 ) -> DataFrame:
     """Content-defined chunking (Rabin-style, cf. LBFS Muthitacharoen et al.
     SOSP'01): a chunk boundary opens at every position whose w-gram hash
@@ -209,7 +232,19 @@ def cdc_chunks(
     gram md5 leads with hex '0', chunk identity is chunk_md5) or "xxh"
     (``F.xxhash64``: boundary where pmod(hash, 16) == 0 — the same 1/16
     probability — and the identity column is chunk_hash, a signed long;
-    the variant ``rolling.cdc_chunks_arrow`` reproduces bit-for-bit)."""
+    the variant ``rolling.cdc_chunks_arrow`` reproduces bit-for-bit).
+
+    ``variant``: "codegen" (default) or "arrow" — the map-only
+    ``rolling.cdc_chunks_arrow`` twin (xxh only; see fingerprints)."""
+    if variant == "arrow":
+        if hash_fn != "xxh":
+            raise ValueError(
+                "variant='arrow' requires hash_fn='xxh' (md5 codegen is the "
+                "DuckDB-oracle shape)"
+            )
+        from crawlspark import rolling
+
+        return rolling.cdc_chunks_arrow(df, w=w, text_col=text_col)
     from pyspark.sql import Window
 
     chars = df.select(

@@ -197,7 +197,13 @@ def idn_normalize_hosts(df, url_col: str = "url"):
         F.when(prt != "", F.concat(F.lit(":"), prt)).otherwise(F.lit("")),
         rest,
     )
-    ascii_side = df.filter(~needs)
+    # The ASCII-branch predicate is NULL-guarded: rlike is NULL for a NULL
+    # url, and a NULL predicate would fail BOTH filter(~needs) and
+    # filter(needs), silently dropping the row (ADVICE r3).  The guard lives
+    # on the ASCII side only, so null/hostless rows pass through unchanged
+    # while the Python stage's input filter stays a bare RLIKE (the
+    # plan-shape contract: ArrowEvalPython directly above Filter(RLIKE)).
+    ascii_side = df.filter(~F.coalesce(needs, F.lit(False)))
     intl_side = df.filter(needs).withColumn(url_col, rebuilt)
     return ascii_side.unionByName(intl_side)
 

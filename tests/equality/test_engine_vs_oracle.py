@@ -318,6 +318,221 @@ def test_delta_frontier_crashed_rebase_ignored(spark, oracle):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _priority_df(spark, n_hotels=N_HOTELS):
+    """Deterministic non-constant host-priority table (stand-in for q71's
+    -pagerank / q72's -revisit_priority): 5 priority classes keyed off the
+    host hash.  Lower sorts first per the EngineConfig contract."""
+    from crawlspark import fixtures
+
+    return (
+        fixtures.initial_frontier_df(spark, n_hotels)
+        .select("host")
+        .distinct()
+        .withColumn(
+            "host_priority",
+            (F.pmod(F.xxhash64("host"), F.lit(5)) - F.lit(2)).cast("double"),
+        )
+    )
+
+
+def _adaptive_expected(rows, pmap):
+    """The adaptive crawl order recomputed driver-side as a PURE sort:
+    (host_priority, ord_phase, listing_rank, depth, page_offset, host,
+    url_h) — the engine's scheduling key reproduced independently."""
+
+    def key(r):
+        phase = 0 if r["kind"] == "listing" else 1
+        return (
+            pmap.get(r["host"], 0.0),
+            phase,
+            r["listing_rank"],
+            r["depth"],
+            r["page_offset"],
+            r["host"],
+            r["url_h"],
+        )
+
+    return [r["url"] for r in sorted(rows, key=key)]
+
+
+_LOG_KEY_COLS = [
+    "crawl_seq", "url", "host", "kind", "listing_rank",
+    "depth", "page_offset", "url_h", "host_priority",
+]
+
+
+def test_priority_table_adaptive_order(spark, oracle):
+    """The q71/q72 loop closed: EngineConfig(priority_table=...) reorders the
+    crawl by host authority while the fetched set, documents, and per-host
+    politeness clocks stay exactly the oracle's — the priority is a pure
+    leading sort-key component, nothing else."""
+    prio = _priority_df(spark)
+    pmap = {r["host"]: r["host_priority"] for r in prio.collect()}
+    assert len(set(pmap.values())) > 1  # non-degenerate signal
+    d = tempfile.mkdtemp(prefix="crawlspark_prio_")
+    try:
+        eng = CrawlEngine(
+            spark, EngineConfig(n_hotels=N_HOTELS, priority_table=prio), d
+        )
+        eng.run()
+        log = eng.crawl_log()
+        rows = log.select(*_LOG_KEY_COLS).collect()
+        got = [r["url"] for r in sorted(rows, key=lambda r: r["crawl_seq"])]
+        assert got == _adaptive_expected(rows, pmap)
+        # the join carried the configured signal verbatim (default for
+        # hosts outside the table)
+        assert all(
+            abs(r["host_priority"] - pmap.get(r["host"], 0.0)) < 1e-12 for r in rows
+        )
+        # scheduling policy must not change WHAT was crawled
+        assert {r["url_h"] for r in rows} == oracle.seen
+        docs = {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+            for r in eng.documents().collect()
+        }
+        assert docs == oracle.documents
+        # and it is a genuine reorder, not accidentally the static order
+        assert got != [u for _, u in oracle.crawl_order]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wave_k_admission_still_converges(spark, oracle):
+    """Global per-wave admission budget (capacity-bound crawl): wave
+    composition is capped at wave_k rows, but the final canonical order,
+    seen set, and documents equal the uncapped oracle's — admission is a
+    per-host prefix, so the token-bucket clock never notices."""
+    d = tempfile.mkdtemp(prefix="crawlspark_wavek_")
+    try:
+        eng = CrawlEngine(spark, EngineConfig(n_hotels=N_HOTELS, wave_k=150), d)
+        eng.run()
+        log = eng.crawl_log()
+        order = [
+            (r["crawl_seq"], r["url"])
+            for r in log.orderBy("crawl_seq").select("crawl_seq", "url").collect()
+        ]
+        seen = {r["url_h"] for r in log.select("url_h").collect()}
+        docs = {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+            for r in eng.documents().collect()
+        }
+        _assert_equal(oracle, order, seen, docs)
+        raw = eng.store.read_deltas("crawl_log", eng.store.latest_wave())
+        per_wave = {
+            r["wave"]: r["n"]
+            for r in raw.groupBy("wave").agg(F.count("*").alias("n")).collect()
+        }
+        assert max(per_wave.values()) <= 150
+        assert len(per_wave) >= 2  # the cap actually throttled the drain
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wave_k_with_priority_drains_by_authority(spark, oracle):
+    """wave_k + priority_table together: the capacity-bound adaptive crawl.
+    Admission is priority-ordered, the final order is the adaptive sort,
+    and the fetched set/documents are still exactly the oracle's."""
+    prio = _priority_df(spark)
+    pmap = {r["host"]: r["host_priority"] for r in prio.collect()}
+    d = tempfile.mkdtemp(prefix="crawlspark_adaptk_")
+    try:
+        eng = CrawlEngine(
+            spark,
+            EngineConfig(n_hotels=N_HOTELS, priority_table=prio, wave_k=150),
+            d,
+        )
+        eng.run()
+        log = eng.crawl_log()
+        rows = log.select(*_LOG_KEY_COLS, "wave").collect()
+        got = [r["url"] for r in sorted(rows, key=lambda r: r["crawl_seq"])]
+        assert got == _adaptive_expected(rows, pmap)
+        assert {r["url_h"] for r in rows} == oracle.seen
+        # per-wave cap held
+        from collections import Counter
+
+        per_wave = Counter(r["wave"] for r in rows)
+        assert max(per_wave.values()) <= 150
+        # priority-ordered admission: among wave-0 seed listings (all pending
+        # from the start, so admission alone decides), every fetched-first
+        # class beats the classes behind it — i.e. the best (lowest) priority
+        # seed listing NOT fetched in wave 0 is >= the worst fetched in it.
+        seed0 = [r for r in rows if r["kind"] == "listing" and r["depth"] == 0]
+        if seed0 and len({pmap.get(r["host"], 0.0) for r in seed0}) > 1:
+            w0 = min(r["wave"] for r in seed0)
+            in0 = [pmap.get(r["host"], 0.0) for r in seed0 if r["wave"] == w0]
+            later = [pmap.get(r["host"], 0.0) for r in seed0 if r["wave"] > w0]
+            if later:
+                assert max(in0) <= min(later) + 1e-12
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wave_k_snapshot_mode_rejected(spark):
+    """Snapshot mode rewrites the full pending set per wave and would drop
+    unadmitted rows — the engine must refuse the combination loudly."""
+    d = tempfile.mkdtemp(prefix="crawlspark_wavek_snap_")
+    try:
+        cfg = EngineConfig(n_hotels=10, frontier_mode="snapshot", wave_k=50)
+        eng = CrawlEngine(spark, cfg, d)
+        eng.bootstrap()
+        with pytest.raises(ValueError, match="wave_k"):
+            eng.step()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_resume_with_changed_merge_cadence_ok(spark):
+    """frontier_merge_every is POLICY, not frozen sharding state: resuming
+    with a different cadence must succeed (unlike bloom/cuckoo geometry or
+    frontier_mode) and the new cadence must actually apply."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="crawlspark_cadence_")
+    try:
+        eng1 = CrawlEngine(
+            spark, EngineConfig(n_hotels=10, frontier_merge_every=50), d
+        )
+        eng1.bootstrap()
+        assert eng1.step()
+        # resume with a much tighter cadence — must not raise
+        eng2 = CrawlEngine(
+            spark, EngineConfig(n_hotels=10, frontier_merge_every=2), d
+        )
+        eng2.run()
+        snap_waves = {
+            int(e.split("=")[1])
+            for e in os.listdir(os.path.join(d, "frontier"))
+            if e.startswith("wave=")
+        }
+        assert snap_waves - {0}, "tightened cadence never rebased"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rebase_fires_across_single_wave_runs(spark):
+    """The rebase cadence keys off PERSISTENT state (delta backlog since the
+    last snapshot), so a resume-heavy drive — a fresh engine per wave, each
+    run(max_waves=1) — still rebases; an in-process wave counter would reset
+    every run and never fire (ADVICE r3 #1)."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="crawlspark_rebase_resume_heavy_")
+    try:
+        cfg = EngineConfig(n_hotels=10, frontier_merge_every=2)
+        for _ in range(4):
+            CrawlEngine(spark, cfg, d).run(max_waves=1)
+        snap_waves = {
+            int(e.split("=")[1])
+            for e in os.listdir(os.path.join(d, "frontier"))
+            if e.startswith("wave=")
+        }
+        assert snap_waves - {0}, (
+            "delta backlog never rebased under single-wave resume drive"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_compacting_run_identical(spark, oracle):
     """Periodic delta compaction mid-run is a pure file-layout rewrite: the
     crawl order, seen set, and span sequences must be byte-identical to the

@@ -617,6 +617,86 @@ def test_train_ivf_centroids_three_paths_bit_identical(spark, emb):
     assert out["driver"] == out["arrow"] == out["hof"]
 
 
+def test_train_ivf_driver_path_guard_falls_back(spark, emb):
+    """The driver-sized contract is enforced in code (ADVICE r3): above
+    driver_max_rows the 'driver' path must fall back to the distributed
+    Arrow path — and because the paths are bit-identical, the fallback is
+    invisible in the results."""
+    guarded = {
+        r["cid"]: tuple(r["cv"])
+        for r in simsearch.train_ivf_centroids(
+            emb, assign="driver", driver_max_rows=1
+        ).collect()
+    }
+    arrow = {
+        r["cid"]: tuple(r["cv"])
+        for r in simsearch.train_ivf_centroids(emb, assign="arrow").collect()
+    }
+    assert guarded == arrow
+
+
+def test_lsh_cap_stats_report_dropped_buckets(spark):
+    """No silent caps (ADVICE r3): when the bucket cap bites, the stats twin
+    must report it; on a clean corpus it must report zero."""
+    clones = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same viral page body repeated verbatim everywhere").alias("text"),
+    )
+    sigs = dedup.minhash_signatures(clones).localCheckpoint()
+    m = dedup.lsh_bucket_cap_stats(sigs, max_bucket=100).collect()[0]
+    assert m["rows_dropped"] > 0, "cap bit but was not reported"
+    assert m["max_bucket_n"] == 500
+    assert m["buckets_dropped"] >= 1
+    assert m["n_rows"] == 500 * 16  # 16 bands per signature
+    # clean corpus: the same instrumentation reports a quiet cap
+    near = spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("a distinctive document about spark batch vectors "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    sigs2 = dedup.minhash_signatures(near).localCheckpoint()
+    m2 = dedup.lsh_bucket_cap_stats(sigs2, max_bucket=100).collect()[0]
+    assert m2["rows_dropped"] == 0 and m2["buckets_dropped"] == 0
+    # simhash twin shares the machinery; smoke it on the viral corpus
+    sh = dedup.simhash(clones)
+    m3 = dedup.simhash_bucket_cap_stats(sh, max_bucket=100).collect()[0]
+    assert m3["rows_dropped"] > 0 and m3["max_bucket_n"] == 500
+
+
+def test_jaccard_twolevel_skew_mode_bit_equal(spark, docs):
+    """The two-level (groupBy+join) document-frequency count must produce
+    bit-identical pairs to the default single-pass window count — the skew
+    flag trades plan shape, never results."""
+    a = dedup.jaccard_pairs(docs, n=3, max_df=20, threshold=0.3).toPandas()
+    b = dedup.jaccard_pairs(
+        docs, n=3, max_df=20, threshold=0.3, skew="twolevel"
+    ).toPandas()
+    key = lambda p: sorted(zip(p.doc_a, p.doc_b, p.n_shared, p.jaccard))
+    assert key(a) == key(b)
+
+
+def test_jaccard_stats_report_stop_shingle_cut(spark):
+    """The max_df stop-shingle cut is observable: a corpus where a few
+    boilerplate shingles saturate every doc reports exactly those shingles
+    dropped; max_bucket_n names the hottest document frequency."""
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("all rights reserved worldwide "),
+            F.lit("unique token "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    m = dedup.jaccard_stop_shingle_stats(docs, n=3, max_df=20).collect()[0]
+    # 4 boilerplate 3-shingles appear in all 50 docs; the 'unique token <id>'
+    # shingle is per-doc
+    assert m["buckets_dropped"] == 4
+    assert m["rows_dropped"] == 4 * 50
+    assert m["max_bucket_n"] == 50
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """A train doc copying a benchmark sentence (>= 4 shared 3-gram
     shingles) is flagged contaminated; a partially-overlapping doc is

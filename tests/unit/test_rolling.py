@@ -113,6 +113,74 @@ def test_fingerprints_arrow_plan_has_no_shuffle(spark, docs):
     assert "Exchange" not in plan
 
 
+def test_variant_arrow_dispatch(spark, docs):
+    """Pipeline callers flip variant="arrow" on the textproc operators
+    (never importing rolling directly) and get the map-only twin: identical
+    rows, zero exchanges, and a loud error if combined with the md5 oracle
+    form."""
+    import pytest
+
+    a = {
+        (r["doc_id"], r["fp"])
+        for r in textproc.fingerprints(docs, hash_fn="xxh", variant="arrow").collect()
+    }
+    b = {
+        (r["doc_id"], r["fp"])
+        for r in textproc.fingerprints(docs, hash_fn="xxh").collect()
+    }
+    assert a == b and len(a) > 0
+    plan = (
+        textproc.fingerprints(docs, hash_fn="xxh", variant="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    c = {
+        tuple(r)
+        for r in textproc.cdc_chunks(docs, hash_fn="xxh", variant="arrow").collect()
+    }
+    d = {tuple(r) for r in textproc.cdc_chunks(docs, hash_fn="xxh").collect()}
+    assert c == d and len(c) > 0
+    with pytest.raises(ValueError, match="xxh"):
+        textproc.fingerprints(docs, variant="arrow")
+    with pytest.raises(ValueError, match="xxh"):
+        textproc.cdc_chunks(docs, variant="arrow")
+
+
+def test_q73_arrow_pipeline_equals_codegen_composition(spark, docs):
+    """The composed q73 pipeline (Arrow CDC twin -> chunk-level dedup) must
+    be bit-equal to the same composition over the codegen xxh form — the
+    end-to-end evidence behind q73's rows-only driver check."""
+    import crawlspark.pipeline_queries as pq
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in pq.q73_chunk_dedup_arrow(spark, sf_dir).collect()}
+    ch = textproc.cdc_chunks(docs, hash_fn="xxh")
+
+    expect = {
+        tuple(r)
+        for r in (
+            ch.groupBy("chunk_hash")
+            .agg(
+                F.count("*").alias("n_occurrences"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.min(F.struct("doc_id", "chunk_start")).alias("k"),
+                F.min("chunk_len").alias("chunk_len"),
+            )
+            .filter(F.col("n_occurrences") > 1)
+            .select(
+                "chunk_hash",
+                "n_occurrences",
+                "n_docs",
+                F.col("k.doc_id").alias("keeper_doc"),
+                F.col("k.chunk_start").cast("long").alias("keeper_start"),
+                "chunk_len",
+            )
+            .collect()
+        )
+    }
+    assert got == expect and len(got) > 0
+
+
 def test_md5_default_unchanged(spark, docs):
     """hash_fn must default to the DuckDB-mirrorable md5 forms (q38/q61
     oracles depend on them)."""

@@ -116,6 +116,70 @@ def test_engine_stream_twin_of_batch_exact_mode(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_engine_stream_cuckoo_recrawl_between_microbatch_runs(spark):
+    """I1 + D3 together: the streaming drive works in cuckoo mode, and a
+    recrawl (seen-set DELETE + re-queue) issued between two streaming runs
+    is honored by the next run — the re-queued keys are fetched a second
+    time, everything else exactly once, and the final canonical order of
+    the first drain equals the frozen oracle's."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crawlspark.engine import CrawlEngine, EngineConfig
+    from crawlspark import streaming as st
+    from oracle_ref import run_oracle
+
+    n_hotels = 20
+    oracle = run_oracle(n_hotels)
+    d = tempfile.mkdtemp(prefix="crawlspark_stream_ck_")
+    ckpt1 = tempfile.mkdtemp(prefix="crawlspark_stream_ckckpt1_")
+    ckpt2 = tempfile.mkdtemp(prefix="crawlspark_stream_ckckpt2_")
+    try:
+        cfg = EngineConfig(n_hotels=n_hotels, seen_mode="cuckoo")
+        eng = CrawlEngine(spark, cfg, d)
+        waves = st.run_engine_stream(eng, ckpt1)
+        assert waves > 0
+        log0 = eng.crawl_log()
+        order = [
+            (r["crawl_seq"], r["url"])
+            for r in log0.orderBy("crawl_seq").select("crawl_seq", "url").collect()
+        ]
+        assert order == oracle.crawl_order  # cuckoo streaming drain == oracle
+
+        # delete-path between micro-batch runs: recrawl every 4th overview
+        wave0 = eng.store.latest_wave()
+        raw0 = eng.store.read_deltas("crawl_log", wave0)
+        targets = (
+            raw0.filter(
+                (F.col("kind") == "overview") & (F.pmod(F.col("url_h"), F.lit(4)) == 0)
+            )
+            .select("url_h")
+            .distinct()
+        )
+        n_targets = targets.count()
+        assert n_targets > 0
+        assert eng.recrawl(targets) == n_targets
+
+        # a SECOND streaming run (fresh checkpoint dir, same state store)
+        # must pick up the re-queued keys and fetch them again
+        waves2 = st.run_engine_stream(eng, ckpt2)
+        assert waves2 > 0
+        wave1 = eng.store.latest_wave()
+        raw1 = eng.store.read_deltas("crawl_log", wave1)
+        counts = (
+            raw1.groupBy("url_h").count().toPandas().set_index("url_h")["count"]
+        )
+        twice = set(counts[counts == 2].index)
+        assert twice == {r["url_h"] for r in targets.collect()}
+        assert (counts.drop(list(twice)) == 1).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt1, ignore_errors=True)
+        shutil.rmtree(ckpt2, ignore_errors=True)
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Native bounded-state streaming dedup: duplicates arriving within the
     watermark horizon are dropped; each url_h is emitted exactly once across

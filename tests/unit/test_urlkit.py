@@ -202,6 +202,25 @@ def test_idn_normalize_hosts_idempotent(spark):
     assert once[4].startswith("https://xn--eckwd4c7c.example/")
 
 
+def test_idn_normalize_hosts_passes_null_and_hostless_rows_through(spark):
+    """A NULL url (or one with no parseable host) makes the non-ASCII
+    predicate NULL, which fails BOTH branch filters — the row must pass
+    through the ASCII branch unchanged, never silently vanish (ADVICE r3)."""
+    rows = [
+        (1, None),
+        (2, "not a url at all"),
+        (3, "https://münchen.example/a"),
+        (4, "https://ascii.example/a"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r["id"]: r["url"] for r in urlkit.idn_normalize_hosts(df).collect()}
+    assert set(out) == {1, 2, 3, 4}, "rows were dropped"
+    assert out[1] is None
+    assert out[2] == "not a url at all"
+    assert out[3] == "https://xn--mnchen-3ya.example/a"
+    assert out[4] == "https://ascii.example/a"
+
+
 def test_idn_host_ascii_fallback_is_deterministic():
     """Hosts the idna codec rejects fall back to NFC+casefold (still
     unifying normalization-form/case variants), never raise."""
