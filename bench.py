@@ -451,6 +451,7 @@ def main():
                 "eff_1_to_4": 0.838,
                 "work_eff_2_to_8": 1.04,
                 "r3_best_available": {"eff_2_to_8": 0.789, "work_eff": 0.98, "normalized": 1.65, "window_ceiling": 0.48},
+                "r4_quiet_record": {"eff_1_to_4": 0.812, "work_eff_1_to_4": 0.951, "eff_2_to_8": 0.704, "normalized_2_to_8": 1.50, "window_ceiling_2_to_8": 0.47, "best_8c_urls_per_sec": 248512},
             },
             "method": "fresh process per leg, interleaved, best-of-2, identical 32-partition plans (external CPU steal on shared host)",
         }
