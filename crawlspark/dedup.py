@@ -236,12 +236,44 @@ def jaccard_stop_shingle_stats(
     return bucket_cap_stats(shingle_hashes(df, text_col, n), ["sh"], max_df)
 
 
+def _bloom_bits_of_keys(keys: DataFrame, col: str, m: int, k: int):
+    """Bloom bitset (uint64[m/64]) of a long-key column: one mapInPandas
+    pass emits a per-partition blob (m/8 bytes), the driver ORs them.
+    Probe math is seen.py's double-hashing (_probe_indices) — one shared
+    definition across the seen-set and this prefilter."""
+    import numpy as np
+    import pandas as pd
+
+    from crawlspark.seen import _probe_indices
+
+    def build(batches):
+        bits = np.zeros(m // 64, dtype=np.uint64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            idx = _probe_indices(pdf[col].to_numpy(), m, k)
+            word, bit = idx >> np.uint64(6), idx & np.uint64(63)
+            np.bitwise_or.at(bits, word.ravel(), np.uint64(1) << bit.ravel())
+        if any_rows:
+            yield pd.DataFrame({"blob": [bits.tobytes()]})
+
+    out = np.zeros(m // 64, dtype=np.uint64)
+    for r in keys.select(col).mapInPandas(build, "blob binary").collect():
+        out |= np.frombuffer(r["blob"], dtype=np.uint64)
+    return out
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,
     text_col: str = "text",
     n: int = 3,
     min_hits: int = 4,
+    strategy: str = "broadcast",
+    bloom_m: int = 1 << 23,
+    bloom_k: int = 7,
 ) -> DataFrame:
     """Benchmark decontamination — the eval-overlap scrub every LLM
     training pipeline runs before training (n-gram collision flagging, cf.
@@ -252,19 +284,54 @@ def decontaminate(
     Returns every training doc with at least one hit:
     (doc_id, n_hits, n_sh, hit_ratio, contaminated).
 
-    Scale shape: the benchmark side reduces to its DISTINCT shingle keys —
-    eval sets are tiny by contract (thousands of docs vs billions), so that
-    key set is broadcast and the scrub is ONE map-side hash-join over the
-    training shingles plus a doc_id hash agg; the per-doc shingle count
-    rides the window exchange shingle_hashes already pays (same single-pass
-    trick as jaccard_pairs).  No shuffle of the training corpus by shingle,
-    no self-join anywhere."""
+    Scale shape, ``strategy="broadcast"`` (default): the benchmark side
+    reduces to its DISTINCT shingle keys — eval sets are tiny by contract
+    (thousands of docs vs billions), so that key set is broadcast and the
+    scrub is ONE map-side hash-join over the training shingles plus a
+    doc_id hash agg; the per-doc shingle count rides the window exchange
+    shingle_hashes already pays (same single-pass trick as jaccard_pairs).
+    No shuffle of the training corpus by shingle, no self-join anywhere.
+
+    ``strategy="bloom"`` is the past-the-broadcast-threshold path: the
+    bench keys are folded into a bloom bitset (``bloom_m`` bits, one
+    mapInPandas pass + driver OR — the BITSET broadcasts even when the key
+    LIST cannot), training shingles are pre-filtered by an Arrow-batched
+    membership test, and only the survivors (true hits + the bloom's few
+    false positives) reach an exact equi join with the bench keys, which
+    eliminates the false positives.  Output is therefore IDENTICAL to the
+    broadcast strategy (equality-tested) — the bloom only prunes the exact
+    join's left side from all training shingles down to ~hits.  Size
+    bloom_m ≈ 10 bits/bench-shingle for ~1% FP prune leakage."""
     tr = shingle_hashes(train, text_col, n).withColumn(
         "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
     )
     bench_sh = shingle_hashes(bench, text_col, n).select("sh").distinct()
+    if strategy == "bloom":
+        import numpy as np
+        import pandas as pd
+
+        from crawlspark.seen import _probe_indices
+
+        m, k = bloom_m, bloom_k
+        bits = _bloom_bits_of_keys(bench_sh, "sh", m, k)
+        bc = train.sparkSession.sparkContext.broadcast(bits.tobytes())
+
+        # NO type hints on the udf body: this module's postponed annotations
+        # stringify them and pandas_udf's hint inference rejects the strings
+        # even in the explicit-functionType form (CLAUDE.md trap)
+        def member_fn(s):
+            b = np.frombuffer(bc.value, dtype=np.uint64)
+            idx = _probe_indices(s.to_numpy(), m, k)
+            word, bit = idx >> np.uint64(6), idx & np.uint64(63)
+            return pd.Series(((b[word] >> bit) & np.uint64(1)).all(axis=1))
+
+        member = F.pandas_udf(member_fn, "boolean")
+        tr = tr.filter(member(F.col("sh")))
+        joined = tr.join(bench_sh, "sh")  # exact join kills bloom FPs
+    else:
+        joined = tr.join(F.broadcast(bench_sh), "sh")
     return (
-        tr.join(F.broadcast(bench_sh), "sh")
+        joined
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"), F.first("n_sh").alias("n_sh"))
         .select(

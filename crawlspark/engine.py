@@ -295,11 +295,15 @@ class CrawlEngine:
     def _with_host_priority(self, df: DataFrame) -> DataFrame:
         """Join the adaptive host-priority signal (cfg.priority_table — e.g.
         -pagerank from graph.pagerank or -revisit_priority from the q72
-        estimator) onto host-keyed rows.  Broadcast by construction: the
-        table is host-cardinality, orders of magnitude below URL cardinality.
-        Missing hosts coalesce to default_host_priority so a partial signal
-        never drops rows; with no table configured the column is a literal
-        (no join in the plan at all)."""
+        estimator) onto host-keyed rows.  No broadcast HINT on purpose: the
+        table is host-cardinality (orders of magnitude below URL
+        cardinality), so AQE broadcasts it whenever it fits — but a
+        web-scale host table (10^8 domains) must be allowed to degrade to a
+        shuffled join instead of being forced through the driver (the q57
+        lesson: scale contracts live in code, not prose).  Missing hosts
+        coalesce to default_host_priority so a partial signal never drops
+        rows; with no table configured the column is a literal (no join in
+        the plan at all)."""
         dflt = F.lit(float(self.cfg.default_host_priority))
         pt = self.cfg.priority_table
         if pt is None:
@@ -308,7 +312,7 @@ class CrawlEngine:
             "host", F.col("host_priority").cast("double").alias("_hp")
         )
         return (
-            df.join(F.broadcast(pr), "host", "left")
+            df.join(pr, "host", "left")
             .withColumn("host_priority", F.coalesce(F.col("_hp"), dflt))
             .drop("_hp")
         )
@@ -588,6 +592,26 @@ class CrawlEngine:
             wave + 1, {"config": {"seen_mode": self.cfg.seen_mode}, "recrawl": n}
         )
         return n
+
+    def recrawl_hosts(self, hosts: DataFrame) -> int:
+        """Bulk re-crawl of every completed URL on the given hosts — the
+        form a revisit-priority signal drives (q72: estimate per-source
+        change rates, threshold, pass the stale-and-changing hosts here).
+        ``hosts`` needs one ``host`` string column; broadcast by
+        construction (host cardinality).  Delegates to recrawl(), so the
+        same cuckoo-only contract and wave-transaction semantics apply."""
+        wave = self.store.latest_wave()
+        assert wave is not None, "bootstrap() first"
+        retired = self.store.read_deltas("retired", wave)
+        if retired is None:
+            return 0
+        keys = (
+            retired.filter(F.col("state") == "done")
+            .join(F.broadcast(hosts.select("host").distinct()), "host", "left_semi")
+            .select("url_h")
+            .distinct()
+        )
+        return self.recrawl(keys)
 
     # ---------------------------------------------------------------- outputs
 

@@ -82,3 +82,21 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("host", "rank")
+
+
+def priority_from_pagerank(
+    edges: DataFrame,
+    n_rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """The q71 -> engine feedback loop closed as one call: PageRank the host
+    link graph and emit it in ``EngineConfig.priority_table`` shape —
+    (host, host_priority) with host_priority = -rank, so higher-authority
+    hosts sort FIRST under the engine's ascending priority key.  Feed the
+    edges from a previous crawl's link extraction (q64/q65 chain); hosts
+    outside the ranked graph fall back to default_host_priority in the
+    engine's coalesce."""
+    return pagerank(edges, n_rounds, src_col, dst_col).select(
+        "host", (-F.col("rank")).alias("host_priority")
+    )

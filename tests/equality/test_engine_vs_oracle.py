@@ -467,6 +467,71 @@ def test_wave_k_with_priority_drains_by_authority(spark, oracle):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_pagerank_priority_feedback_loop(spark, oracle):
+    """The full q71 -> engine loop through the shipped helper: PageRank a
+    host link graph, convert with graph.priority_from_pagerank, feed it to
+    EngineConfig(priority_table=...) — crawl order is the pure adaptive
+    sort under the REAL ranks, fetched set and documents are the oracle's."""
+    from crawlspark import fixtures, graph
+
+    hosts = fixtures.initial_frontier_df(spark, N_HOTELS).select("host").distinct()
+    # deterministic synthetic link graph over the crawl's own hosts: each
+    # host links to two hash-derived neighbors (stands in for q64/q65's
+    # extracted edges)
+    h2 = hosts.select(F.col("host").alias("dst"), F.xxhash64("host").alias("x"))
+    edges = (
+        hosts.withColumn("x", F.pmod(F.xxhash64("host"), F.lit(997)))
+        .crossJoin(h2.select(F.col("dst"), F.pmod(F.col("x"), F.lit(997)).alias("y")))
+        .filter(F.pmod(F.col("x") + F.col("y"), F.lit(7)) < 2)
+        .filter(F.col("host") != F.col("dst"))
+        .select(F.col("host").alias("src"), "dst")
+    )
+    prio = graph.priority_from_pagerank(edges, n_rounds=2).localCheckpoint()
+    pmap = {r["host"]: r["host_priority"] for r in prio.collect()}
+    assert len(set(pmap.values())) > 1  # ranks actually differentiate hosts
+    d = tempfile.mkdtemp(prefix="crawlspark_prfeed_")
+    try:
+        eng = CrawlEngine(
+            spark, EngineConfig(n_hotels=N_HOTELS, priority_table=prio), d
+        )
+        eng.run()
+        rows = eng.crawl_log().select(*_LOG_KEY_COLS).collect()
+        got = [r["url"] for r in sorted(rows, key=lambda r: r["crawl_seq"])]
+        assert got == _adaptive_expected(rows, pmap)
+        assert {r["url_h"] for r in rows} == oracle.seen
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_recrawl_hosts_bulk_refetch(spark):
+    """recrawl_hosts (the q72-driven bulk form): every completed URL on the
+    targeted hosts is fetched a second time, everything else exactly once."""
+    d = tempfile.mkdtemp(prefix="crawlspark_rchosts_")
+    try:
+        eng = CrawlEngine(
+            spark, EngineConfig(n_hotels=20, seen_mode="cuckoo"), d
+        )
+        eng.run()
+        wave0 = eng.store.latest_wave()
+        log0 = eng.store.read_deltas("crawl_log", wave0)
+        all_hosts = sorted(r["host"] for r in log0.select("host").distinct().collect())
+        targets = all_hosts[:2]
+        expect_twice = {
+            r["url_h"]
+            for r in log0.filter(F.col("host").isin(targets)).select("url_h").collect()
+        }
+        hosts_df = spark.createDataFrame([(h,) for h in targets], "host string")
+        assert eng.recrawl_hosts(hosts_df) == len(expect_twice) > 0
+        while eng.step():
+            pass
+        log1 = eng.store.read_deltas("crawl_log", eng.store.latest_wave())
+        counts = log1.groupBy("url_h").count().toPandas().set_index("url_h")["count"]
+        assert set(counts[counts == 2].index) == expect_twice
+        assert (counts.drop(list(expect_twice)) == 1).all()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_wave_k_snapshot_mode_rejected(spark):
     """Snapshot mode rewrites the full pending set per wave and would drop
     unadmitted rows — the engine must refuse the combination loudly."""

@@ -697,6 +697,45 @@ def test_jaccard_stats_report_stop_shingle_cut(spark):
     assert m["max_bucket_n"] == 50
 
 
+def test_decontaminate_bloom_strategy_identical(spark, docs):
+    """The past-the-broadcast-threshold path: bloom-prefiltered scrub must
+    produce IDENTICAL rows to the broadcast join (false positives are
+    eliminated by the exact join; the bloom only prunes its left side) —
+    on the real corpus AND on a planted-overlap case, including a
+    deliberately tiny/collision-prone bitset."""
+    bench = spark.createDataFrame(
+        [(9001, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = docs.select("doc_id", "text").limit(200).unionByName(
+        spark.createDataFrame(
+            [
+                (8000, "prefix words the quick brown fox jumps over the lazy dog tonight suffix"),
+                (8001, "totally unrelated content about spark physical plans"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    a = {
+        tuple(r)
+        for r in dedup.decontaminate(train, bench, strategy="broadcast").collect()
+    }
+    b = {
+        tuple(r)
+        for r in dedup.decontaminate(train, bench, strategy="bloom").collect()
+    }
+    assert a == b and len(a) > 0
+    # a 2^10-bit bloom over the bench shingles WILL false-positive heavily;
+    # the exact join must still make the output identical
+    c = {
+        tuple(r)
+        for r in dedup.decontaminate(
+            train, bench, strategy="bloom", bloom_m=1 << 10, bloom_k=2
+        ).collect()
+    }
+    assert a == c
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """A train doc copying a benchmark sentence (>= 4 shared 3-gram
     shingles) is flagged contaminated; a partially-overlapping doc is
