@@ -100,7 +100,7 @@ _DRIVER_WINDOW_FIRST = [
     "q71_host_pagerank",
     "q72_revisit_priority",
     "q73_chunk_dedup_arrow",  # new in r4 (rows-only; unit-equality-backed)
-    # -- 28 design-critical veterans (window slots 23-50) -----------------
+    # -- design-critical veterans (window slots 24-50) --------------------
     "q31_jaccard_shingles",
     "q40_embedding_neardup",
     "q45_neardup_components",

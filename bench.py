@@ -480,13 +480,18 @@ def main():
     # stdout, and r3's single fat line outgrew that window — the line's head
     # (all per-query timings) was truncated away and BENCH_r03.json came back
     # "parsed": null (VERDICT r3 "What's wrong #2").
-    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    os.makedirs(bench_dir, exist_ok=True)
     tag = os.environ.get("SPARK_GRAFT_ROUND", "latest")
-    full_path = os.path.join(bench_dir, f"bench_{tag}.json")
-    with open(full_path, "w") as fh:
-        json.dump(full_record, fh, indent=1)
-    sys.stderr.write(f"full bench record -> {full_path}\n")
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        full_path = os.path.join(bench_dir, f"bench_{tag}.json")
+        with open(full_path, "w") as fh:
+            json.dump(full_record, fh, indent=1)
+        sys.stderr.write(f"full bench record -> {full_path}\n")
+    except OSError as e:
+        # a read-only checkout must degrade to losing the FULL record, never
+        # the compact stdout line the driver parses
+        sys.stderr.write(f"full bench record not written ({e})\n")
     # The final stdout line stays COMPACT (metric/value/unit/queries/sf plus
     # the two headline scalars) — well under the driver's capture window.
     print(

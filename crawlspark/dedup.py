@@ -178,6 +178,8 @@ def jaccard_pairs(
     # collect_set buffer then never holds more than max_df entries.  Same
     # single-pass shape: 1 scan, 3 exchanges (doc_id window, sh window+agg,
     # pair agg), 0 joins — plan-asserted in tests/unit/test_plans.py.
+    if skew not in ("window", "twolevel"):
+        raise ValueError(f"skew must be 'window' or 'twolevel', got {skew!r}")
     if skew == "twolevel":
         counts = sh.groupBy("sh").agg(F.count("*").alias("df_sh"))
         counted = shsz.join(counts, "sh")
@@ -246,6 +248,9 @@ def _bloom_bits_of_keys(keys: DataFrame, col: str, m: int, k: int):
 
     from crawlspark.seen import _probe_indices
 
+    if m % 64:
+        raise ValueError(f"bloom m must be a multiple of 64, got {m}")
+
     def build(batches):
         bits = np.zeros(m // 64, dtype=np.uint64)
         any_rows = False
@@ -301,7 +306,18 @@ def decontaminate(
     eliminates the false positives.  Output is therefore IDENTICAL to the
     broadcast strategy (equality-tested) — the bloom only prunes the exact
     join's left side from all training shingles down to ~hits.  Size
-    bloom_m ≈ 10 bits/bench-shingle for ~1% FP prune leakage."""
+    bloom_m ≈ 10 bits/bench-shingle for ~1% FP prune leakage.  Two
+    lifetime notes: the bloom strategy runs ONE Spark job at CALL time (the
+    bitset must be materialized before it can be broadcast — the broadcast
+    branch stays fully lazy), and the broadcast bitset lives until the
+    session ends (it must outlive the returned lazy DataFrame, so it is
+    never eagerly destroyed; m/8 bytes per call)."""
+    if strategy not in ("broadcast", "bloom"):
+        raise ValueError(
+            f"strategy must be 'broadcast' or 'bloom', got {strategy!r}"
+        )
+    if bloom_m % 64:
+        raise ValueError(f"bloom_m must be a multiple of 64, got {bloom_m}")
     tr = shingle_hashes(train, text_col, n).withColumn(
         "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
     )

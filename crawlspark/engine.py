@@ -107,6 +107,17 @@ class EngineConfig:
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig, state_dir: str):
+        # fail fast on contradictory config — BEFORE bootstrap writes any
+        # on-disk state (a step()-time check would leave a wave-0 manifest
+        # with the bad config frozen in)
+        if cfg.wave_k is not None:
+            if cfg.wave_k <= 0:
+                raise ValueError(f"wave_k must be positive, got {cfg.wave_k}")
+            if cfg.frontier_mode == "snapshot":
+                raise ValueError(
+                    "wave_k requires frontier_mode='delta' (snapshot mode "
+                    "rewrites the full pending set and would drop unadmitted rows)"
+                )
         self.spark = spark
         self.cfg = cfg
         self.store = StateStore(spark, state_dir)
@@ -308,8 +319,13 @@ class CrawlEngine:
         pt = self.cfg.priority_table
         if pt is None:
             return df.withColumn("host_priority", dflt)
-        pr = pt.select(
-            "host", F.col("host_priority").cast("double").alias("_hp")
+        # defensively collapse duplicate host rows (e.g. a careless union of
+        # the q71 and q72 signals) to their MIN priority — best wins,
+        # deterministic; a duplicate-keyed left join would otherwise
+        # MULTIPLY candidate and crawl-log rows, breaking the 'changes the
+        # schedule, never the fetched set' contract
+        pr = pt.groupBy("host").agg(
+            F.min(F.col("host_priority").cast("double")).alias("_hp")
         )
         return (
             df.join(pr, "host", "left")
@@ -382,12 +398,7 @@ class CrawlEngine:
         # simply stay pending (delta mode never materializes the remainder).
         # orderBy+limit plans as TakeOrderedAndProject — per-partition top-k
         # then one k-row merge, no global sort, scale-safe for bounded k.
-        if cfg.wave_k:
-            if cfg.frontier_mode == "snapshot":
-                raise ValueError(
-                    "wave_k requires frontier_mode='delta' (snapshot mode "
-                    "rewrites the full pending set and would drop unadmitted rows)"
-                )
+        if cfg.wave_k is not None:  # validated > 0 and delta-mode in __init__
             cand = self._with_host_priority(cand)
             cand = cand.orderBy(*self._ADMISSION_ORDER).limit(cfg.wave_k)
         # delta frontier mode never materializes the not-scheduled remainder:
@@ -550,15 +561,11 @@ class CrawlEngine:
         wave = self.store.latest_wave()
         assert wave is not None, "bootstrap() first"
         keys = url_keys.select("url_h").dropDuplicates(["url_h"])
-        retired = self.store.read_deltas("retired", wave)
-        if retired is None:
+        done = self._retired_done(wave)
+        if done is None:
             return 0
-        # only completed fetches are re-queued; restricting the DELETE to the
-        # same set keeps still-pending/blocked keys in the seen set (deleting
-        # a pending key would let a later discovery double-queue it)
         requeue = (
-            retired.filter(F.col("state") == "done")
-            .join(keys, "url_h", "left_semi")
+            done.join(keys, "url_h", "left_semi")
             .withColumn("state", F.lit("pending"))
             .select(*fixtures.FRONTIER_COLS)
             .dropDuplicates(["url_h"])
@@ -593,6 +600,16 @@ class CrawlEngine:
         )
         return n
 
+    def _retired_done(self, wave: int) -> DataFrame | None:
+        """Completed (state='done') retired rows up to ``wave`` — the ONE
+        definition of what is eligible for re-crawl.  Only completed
+        fetches may be re-queued: deleting a still-pending/blocked key from
+        the seen set would let a later discovery double-queue it."""
+        retired = self.store.read_deltas("retired", wave)
+        if retired is None:
+            return None
+        return retired.filter(F.col("state") == "done")
+
     def recrawl_hosts(self, hosts: DataFrame) -> int:
         """Bulk re-crawl of every completed URL on the given hosts — the
         form a revisit-priority signal drives (q72: estimate per-source
@@ -602,12 +619,11 @@ class CrawlEngine:
         same cuckoo-only contract and wave-transaction semantics apply."""
         wave = self.store.latest_wave()
         assert wave is not None, "bootstrap() first"
-        retired = self.store.read_deltas("retired", wave)
-        if retired is None:
+        done = self._retired_done(wave)
+        if done is None:
             return 0
         keys = (
-            retired.filter(F.col("state") == "done")
-            .join(F.broadcast(hosts.select("host").distinct()), "host", "left_semi")
+            done.join(F.broadcast(hosts.select("host").distinct()), "host", "left_semi")
             .select("url_h")
             .distinct()
         )

@@ -334,8 +334,19 @@ def train_ivf_centroids(
     d = emb.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("norm", _norm(F.col("v")))
-    if assign == "driver" and d.count() > driver_max_rows:
-        assign = "arrow"
+    if assign not in ("driver", "arrow", "hof"):
+        raise ValueError(
+            f"assign must be 'driver', 'arrow' or 'hof', got {assign!r}"
+        )
+    if assign == "driver":
+        # bounded probe, never a full count: scan at most driver_max_rows+1
+        # narrow rows to decide — a full d.count() would add a whole-table
+        # pass to the path whose purpose is collapsing Spark jobs
+        probe = (
+            d.select(F.lit(1).alias("one")).limit(driver_max_rows + 1).count()
+        )
+        if probe > driver_max_rows:
+            assign = "arrow"
     if assign == "driver":
         rows = sorted(
             (int(r["vid"]), list(r["v"])) for r in d.select("vid", "v").collect()

@@ -125,6 +125,8 @@ def fingerprints(
 
     Output: (doc_id, fp) exploded — the near-dup building block that survives
     small edits (a changed char perturbs <= k+w-1 windows)."""
+    if variant not in ("codegen", "arrow"):
+        raise ValueError(f"variant must be 'codegen' or 'arrow', got {variant!r}")
     if variant == "arrow":
         if hash_fn != "xxh":
             raise ValueError(
@@ -236,6 +238,8 @@ def cdc_chunks(
 
     ``variant``: "codegen" (default) or "arrow" — the map-only
     ``rolling.cdc_chunks_arrow`` twin (xxh only; see fingerprints)."""
+    if variant not in ("codegen", "arrow"):
+        raise ValueError(f"variant must be 'codegen' or 'arrow', got {variant!r}")
     if variant == "arrow":
         if hash_fn != "xxh":
             raise ValueError(

@@ -534,14 +534,19 @@ def test_recrawl_hosts_bulk_refetch(spark):
 
 def test_wave_k_snapshot_mode_rejected(spark):
     """Snapshot mode rewrites the full pending set per wave and would drop
-    unadmitted rows — the engine must refuse the combination loudly."""
+    unadmitted rows — the engine must refuse the combination at
+    CONSTRUCTION (before bootstrap writes any state), and a zero/negative
+    budget is a loud error, never a silent no-cap."""
     d = tempfile.mkdtemp(prefix="crawlspark_wavek_snap_")
     try:
         cfg = EngineConfig(n_hotels=10, frontier_mode="snapshot", wave_k=50)
-        eng = CrawlEngine(spark, cfg, d)
-        eng.bootstrap()
         with pytest.raises(ValueError, match="wave_k"):
-            eng.step()
+            CrawlEngine(spark, cfg, d)
+        with pytest.raises(ValueError, match="positive"):
+            CrawlEngine(spark, EngineConfig(n_hotels=10, wave_k=0), d)
+        import os
+
+        assert not os.listdir(d), "rejected config must write no state"
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
