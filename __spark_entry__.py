@@ -100,6 +100,7 @@ _DRIVER_WINDOW_FIRST = [
     "q71_host_pagerank",
     "q72_revisit_priority",
     "q73_chunk_dedup_arrow",  # new in r4 (rows-only; unit-equality-backed)
+    "q74_fingerprint_overlap",  # new in r4 (hash-checked)
     # -- design-critical veterans (window slots 24-50) --------------------
     "q31_jaccard_shingles",
     "q40_embedding_neardup",
@@ -127,7 +128,6 @@ _DRIVER_WINDOW_FIRST = [
     "q53_percentile_stats",
     "q16_window_rank",
     "q18_topk_per_group",
-    "q09_left_anti_dedup",
 ]
 
 

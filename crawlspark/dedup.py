@@ -112,6 +112,57 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     )
 
 
+def _shared_key_pairs(sized: DataFrame, max_df: int, skew: str = "window") -> DataFrame:
+    """Candidate pairs by shared key WITHOUT a self-join — the single-pass
+    core of jaccard_pairs and fingerprint_overlap_pairs.  Input columns are
+    exactly (doc_id, sh, n_sh): distinct key rows per doc plus the per-doc
+    key-set size.  Group each key's (<= max_df, sorted) doc list once,
+    expand the C(df,2) ordered pairs locally with bounded higher-order
+    functions (one shuffle on sh instead of a two-sided join shuffle; the
+    stop-key cut falls out of the same pass), then count shared keys per
+    pair.  Returns (doc_a, doc_b, n_a, n_b, n_shared) with doc_a < doc_b.
+
+    HOT-KEY SAFETY: the max_df cut runs BEFORE any doc list is collected —
+    see jaccard_pairs for the full contract, the skew= straggler trade, and
+    the plan assertions."""
+    if skew not in ("window", "twolevel"):
+        raise ValueError(f"skew must be 'window' or 'twolevel', got {skew!r}")
+    if skew == "twolevel":
+        counts = sized.select("doc_id", "sh").groupBy("sh").agg(
+            F.count("*").alias("df_sh")
+        )
+        counted = sized.join(counts, "sh")
+    else:
+        counted = sized.withColumn(
+            "df_sh", F.count("*").over(Window.partitionBy("sh"))
+        )
+    doclists = (
+        counted.filter(F.col("df_sh") <= max_df)
+        .groupBy("sh")
+        .agg(F.collect_set(F.struct("doc_id", "n_sh")).alias("ds"))
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, max_df),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("n_a"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        doclists.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -178,40 +229,7 @@ def jaccard_pairs(
     # collect_set buffer then never holds more than max_df entries.  Same
     # single-pass shape: 1 scan, 3 exchanges (doc_id window, sh window+agg,
     # pair agg), 0 joins — plan-asserted in tests/unit/test_plans.py.
-    if skew not in ("window", "twolevel"):
-        raise ValueError(f"skew must be 'window' or 'twolevel', got {skew!r}")
-    if skew == "twolevel":
-        counts = sh.groupBy("sh").agg(F.count("*").alias("df_sh"))
-        counted = shsz.join(counts, "sh")
-    else:
-        counted = shsz.withColumn(
-            "df_sh", F.count("*").over(Window.partitionBy("sh"))
-        )
-    doclists = (
-        counted.filter(F.col("df_sh") <= max_df)
-        .groupBy("sh")
-        .agg(F.collect_set(F.struct("doc_id", "n_sh")).alias("ds"))
-        .select(F.array_sort("ds").alias("ds"))
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, max_df),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["n_sh"].alias("n_a"),
-                    y["n_sh"].alias("n_b"),
-                ),
-            ),
-        )
-    )
-    shared = (
-        doclists.select(F.explode(pair_arr).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
+    shared = _shared_key_pairs(shsz, max_df, skew)
     out = (
         shared.withColumn(
             "jaccard",
@@ -236,6 +254,55 @@ def jaccard_stop_shingle_stats(
     distinct shingle and max_bucket_n is the hottest shingle's document
     frequency."""
     return bucket_cap_stats(shingle_hashes(df, text_col, n), ["sh"], max_df)
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    max_df: int = 20,
+    min_shared: int = 2,
+    hash_fn: str = "md5",
+    skew: str = "window",
+    variant: str = "codegen",
+) -> DataFrame:
+    """MOSS-style sub-document overlap detection (the pairing stage of
+    Schleimer et al., "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD'03): two documents sharing ``min_shared``+
+    winnowing fingerprints contain near-identical PASSAGES even when their
+    whole-document similarity is low — the copied-paragraph/boilerplate
+    complement of jaccard_pairs' whole-doc estimate.  Returns
+    (doc_a, doc_b, n_shared, containment) with containment =
+    n_shared / min(|A|, |B|) (the asymmetric overlap coefficient, the
+    natural measure when a small doc is embedded in a big one).
+
+    Scale shape: identical to jaccard_pairs — textproc.fingerprints is one
+    exploded-char window pass (or the map-only Arrow twin via
+    variant="arrow" + hash_fn="xxh"), and the pairing is the shared
+    single-pass core (_shared_key_pairs): fingerprints appearing in more
+    than max_df docs are cut BEFORE collection, no self-join, no corpus
+    shuffle beyond the fp doclists."""
+    fp = textproc.fingerprints(
+        df, text_col=text_col, k=k, w=w, hash_fn=hash_fn, variant=variant
+    )
+    sized = fp.select("doc_id", F.col("fp").alias("sh")).withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    shared = _shared_key_pairs(sized, max_df, skew)
+    return (
+        shared.filter(F.col("n_shared") >= min_shared)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
 
 
 def _bloom_bits_of_keys(keys: DataFrame, col: str, m: int, k: int):

@@ -451,6 +451,18 @@ def q73_chunk_dedup_arrow(spark, sf_dir):
     )
 
 
+def q74_fingerprint_overlap(spark, sf_dir):
+    """MOSS-style sub-document overlap pairs (dedup.fingerprint_overlap_pairs
+    over the q38 winnowing fingerprints): doc pairs sharing >= 2 rare
+    fingerprints, with the asymmetric containment coefficient — catches a
+    copied passage that whole-doc Jaccard (q31) dilutes below threshold.
+    Fully hash-checked: the DuckDB oracle composes q38's fingerprint CTE
+    with the same max_df cut and pair aggregation."""
+    return dedup.fingerprint_overlap_pairs(
+        read(spark, sf_dir, "documents"), max_df=20, min_shared=2
+    )
+
+
 def q64_link_extraction(spark, sf_dir):
     """The discovery chain extract -> resolve -> canonicalize as one checked
     query: deterministic synthetic anchors (root-relative, path-relative,
@@ -761,6 +773,7 @@ QUERIES = {
     "q71_host_pagerank": q71_host_pagerank,
     "q72_revisit_priority": q72_revisit_priority,
     "q73_chunk_dedup_arrow": q73_chunk_dedup_arrow,
+    "q74_fingerprint_overlap": q74_fingerprint_overlap,
 }
 
 def _ivf_oracle_sql(
@@ -895,6 +908,24 @@ ORACLE = {
         "f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs)-14, 1)), "
         "j -> list_aggregate(list_slice(hs, j, j+15), 'min'))) AS fps FROM g) "
         "SELECT doc_id, unnest(fps) AS fp FROM f"
+    ),
+    "q74_fingerprint_overlap": (
+        # q38's winnowing-fingerprint CTE composed with the same max_df cut
+        # and shared-key pair aggregation the Spark side uses
+        "WITH g AS (SELECT doc_id, list_transform(range(1, greatest(length(text)-6, 1)), "
+        "i -> md5(substr(text, CAST(i AS BIGINT), 8))) AS hs FROM documents), "
+        "f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs)-14, 1)), "
+        "j -> list_aggregate(list_slice(hs, j, j+15), 'min'))) AS fps FROM g), "
+        "fp AS (SELECT doc_id, unnest(fps) AS fp FROM f), "
+        "sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1), "
+        "rare AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fp GROUP BY 1) WHERE c <= 20), "
+        "shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM fp a JOIN fp b USING (fp) JOIN rare USING (fp) "
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, n_shared, "
+        "round(CAST(n_shared AS DOUBLE) / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 6) AS containment "
+        "FROM shr JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE n_shared >= 2"
     ),
     "q42_corpus_pipeline": """
 WITH q AS (

@@ -736,6 +736,57 @@ def test_decontaminate_bloom_strategy_identical(spark, docs):
     assert a == c
 
 
+def test_fingerprint_overlap_catches_copied_passage(spark):
+    """The MOSS case jaccard misses: a paragraph copied VERBATIM into a much
+    larger document.  Whole-doc jaccard dilutes below threshold, but the
+    passage's winnowing fingerprints survive intact — the pair must surface
+    with high containment; unrelated docs must not pair."""
+    passage = (
+        "the winnowing algorithm selects the minimum hash of every window "
+        "of consecutive grams which guarantees detection of any match "
+        "longer than the window plus gram size "
+    )
+    filler = " ".join(f"filler{i} distinct background prose" for i in range(120))
+    rows = [
+        (1, passage),                      # the small original
+        (2, filler + " " + passage),       # passage embedded in a big doc
+        (3, "completely unrelated text about politeness token buckets " * 6),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.fingerprint_overlap_pairs(docs, max_df=20, min_shared=2).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs, "embedded passage not detected"
+    assert pairs[(1, 2)]["containment"] >= 0.8  # most of doc 1 is contained
+    assert all(3 not in p for p in pairs)
+    # and the whole-doc jaccard indeed dilutes this pair away (the reason
+    # this operator exists)
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac
+
+
+def test_bloom_bits_no_false_negatives(spark):
+    """Property of the decontamination prefilter: every inserted key tests
+    as a member (bloom false negatives are impossible; the exact-join
+    equality relies on this)."""
+    import numpy as np
+
+    from crawlspark.seen import _probe_indices
+
+    keys = spark.range(5000).select(
+        (F.xxhash64(F.col("id"))).alias("sh")
+    )
+    m, k = 1 << 16, 7
+    bits = dedup._bloom_bits_of_keys(keys, "sh", m, k)
+    u = np.array([r["sh"] for r in keys.collect()], dtype=np.int64)
+    idx = _probe_indices(u, m, k)
+    word, bit = idx >> np.uint64(6), idx & np.uint64(63)
+    member = ((bits[word] >> bit) & np.uint64(1)).all(axis=1)
+    assert member.all()
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """A train doc copying a benchmark sentence (>= 4 shared 3-gram
     shingles) is flagged contaminated; a partially-overlapping doc is
