@@ -54,8 +54,10 @@ HEADLINE = [
     "q61_cdc_chunks",
     "q62_training_batches",
     "q64_link_extraction",
-    # round-4: the composed Arrow-CDC pipeline (map-only chunking twin)
+    # round-4: the composed Arrow-CDC pipeline (map-only chunking twin) and
+    # the MOSS sub-document overlap pairing
     "q73_chunk_dedup_arrow",
+    "q74_fingerprint_overlap",
 ]
 
 

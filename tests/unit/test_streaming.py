@@ -180,6 +180,52 @@ def test_engine_stream_cuckoo_recrawl_between_microbatch_runs(spark):
         shutil.rmtree(ckpt2, ignore_errors=True)
 
 
+def test_engine_stream_adaptive_priority_twin_of_batch(spark):
+    """The streaming drive must honor the adaptive scheduling config the
+    same way the batch loop does: a priority_table + wave_k stream run
+    produces the identical crawl order to the batch run under the same
+    config (both are the pure adaptive sort key)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crawlspark import fixtures, streaming as st
+    from crawlspark.engine import CrawlEngine, EngineConfig
+
+    n_hotels = 20
+    prio = (
+        fixtures.initial_frontier_df(spark, n_hotels)
+        .select("host")
+        .distinct()
+        .withColumn(
+            "host_priority",
+            (F.pmod(F.xxhash64("host"), F.lit(5)) - F.lit(2)).cast("double"),
+        )
+        .localCheckpoint()
+    )
+
+    def run(drive):
+        d = tempfile.mkdtemp(prefix="crawlspark_adstream_")
+        ckpt = tempfile.mkdtemp(prefix="crawlspark_adstream_ckpt_")
+        try:
+            cfg = EngineConfig(n_hotels=n_hotels, priority_table=prio, wave_k=60)
+            eng = CrawlEngine(spark, cfg, d)
+            if drive == "stream":
+                assert st.run_engine_stream(eng, ckpt) > 0
+            else:
+                eng.run()
+            log = eng.crawl_log()
+            return [
+                r["url"] for r in log.orderBy("crawl_seq").select("url").collect()
+            ]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    assert run("batch") == run("stream")
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Native bounded-state streaming dedup: duplicates arriving within the
     watermark horizon are dropped; each url_h is emitted exactly once across
