@@ -393,14 +393,13 @@ def q62_training_batches(spark, sf_dir):
     return textproc.pack_sequences(kept, budget=256)
 
 
-def q63_chunk_dedup_stats(spark, sf_dir):
-    """Chunk-level dedup decision over the CDC output: for every chunk hash
-    shared by more than one (doc, position), the occurrence count, number of
-    distinct docs, and the canonical keeper (lowest doc_id, then offset) —
-    the sub-document analog of q30's exact groups."""
-    ch = textproc.cdc_chunks(read(spark, sf_dir, "documents"))
+def _chunk_dedup_stats(ch, id_col):
+    """Shared q63/q73 aggregation: for every chunk identity shared by more
+    than one (doc, position), the occurrence count, distinct docs, and the
+    canonical keeper (lowest doc_id, then offset) — the sub-document analog
+    of q30's exact groups.  ONE hash agg on the chunk identity column."""
     return (
-        ch.groupBy("chunk_md5")
+        ch.groupBy(id_col)
         .agg(
             F.count("*").alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
@@ -409,13 +408,21 @@ def q63_chunk_dedup_stats(spark, sf_dir):
         )
         .filter(F.col("n_occurrences") > 1)
         .select(
-            "chunk_md5",
+            id_col,
             "n_occurrences",
             "n_docs",
             F.col("k.doc_id").alias("keeper_doc"),
             F.col("k.chunk_start").cast("long").alias("keeper_start"),
             "chunk_len",
         )
+    )
+
+
+def q63_chunk_dedup_stats(spark, sf_dir):
+    """Chunk-level dedup decision over the CDC output (_chunk_dedup_stats
+    over the md5 oracle form)."""
+    return _chunk_dedup_stats(
+        textproc.cdc_chunks(read(spark, sf_dir, "documents")), "chunk_md5"
     )
 
 
@@ -431,24 +438,7 @@ def q73_chunk_dedup_arrow(spark, sf_dir):
     ch = textproc.cdc_chunks(
         read(spark, sf_dir, "documents"), hash_fn="xxh", variant="arrow"
     )
-    return (
-        ch.groupBy("chunk_hash")
-        .agg(
-            F.count("*").alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.min(F.struct("doc_id", "chunk_start")).alias("k"),
-            F.min("chunk_len").alias("chunk_len"),
-        )
-        .filter(F.col("n_occurrences") > 1)
-        .select(
-            "chunk_hash",
-            "n_occurrences",
-            "n_docs",
-            F.col("k.doc_id").alias("keeper_doc"),
-            F.col("k.chunk_start").cast("long").alias("keeper_start"),
-            "chunk_len",
-        )
-    )
+    return _chunk_dedup_stats(ch, "chunk_hash")
 
 
 def q74_fingerprint_overlap(spark, sf_dir):
@@ -853,6 +843,16 @@ WITH w AS (
 )
 """
 
+# shared winnowing-fingerprint CTEs (q38's definition, reused verbatim by
+# q74 so the two oracles cannot drift): g = per-position 8-char gram md5s,
+# f = distinct window minima per doc
+_FP_CTE = (
+    "g AS (SELECT doc_id, list_transform(range(1, greatest(length(text)-6, 1)), "
+    "i -> md5(substr(text, CAST(i AS BIGINT), 8))) AS hs FROM documents), "
+    "f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs)-14, 1)), "
+    "j -> list_aggregate(list_slice(hs, j, j+15), 'min'))) AS fps FROM g)"
+)
+
 ORACLE = {
     "q30_dedup_exact": (
         "WITH alldocs AS (SELECT doc_id, text FROM documents UNION ALL "
@@ -903,19 +903,12 @@ ORACLE = {
         "FROM documents"
     ),
     "q38_fingerprint": (
-        "WITH g AS (SELECT doc_id, list_transform(range(1, greatest(length(text)-6, 1)), "
-        "i -> md5(substr(text, CAST(i AS BIGINT), 8))) AS hs FROM documents), "
-        "f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs)-14, 1)), "
-        "j -> list_aggregate(list_slice(hs, j, j+15), 'min'))) AS fps FROM g) "
-        "SELECT doc_id, unnest(fps) AS fp FROM f"
+        f"WITH {_FP_CTE} SELECT doc_id, unnest(fps) AS fp FROM f"
     ),
     "q74_fingerprint_overlap": (
-        # q38's winnowing-fingerprint CTE composed with the same max_df cut
+        # q38's winnowing-fingerprint CTEs composed with the same max_df cut
         # and shared-key pair aggregation the Spark side uses
-        "WITH g AS (SELECT doc_id, list_transform(range(1, greatest(length(text)-6, 1)), "
-        "i -> md5(substr(text, CAST(i AS BIGINT), 8))) AS hs FROM documents), "
-        "f AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs)-14, 1)), "
-        "j -> list_aggregate(list_slice(hs, j, j+15), 'min'))) AS fps FROM g), "
+        f"WITH {_FP_CTE}, "
         "fp AS (SELECT doc_id, unnest(fps) AS fp FROM f), "
         "sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1), "
         "rare AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fp GROUP BY 1) WHERE c <= 20), "

@@ -22,21 +22,27 @@ def oracle():
     return run_oracle(N_HOTELS)
 
 
+def _order_seen_docs(eng):
+    """Collect the three oracle-comparable outputs from a finished engine."""
+    log = eng.crawl_log()
+    order = [
+        (r["crawl_seq"], r["url"])
+        for r in log.orderBy("crawl_seq").select("crawl_seq", "url").collect()
+    ]
+    seen = {r["url_h"] for r in log.select("url_h").collect()}
+    docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in eng.documents().collect()
+    }
+    return order, seen, docs
+
+
 def _run_engine(spark, cfg):
     d = tempfile.mkdtemp(prefix="crawlspark_eq_")
     try:
         eng = CrawlEngine(spark, cfg, d)
         eng.run()
-        log = eng.crawl_log()
-        order = [
-            (r["crawl_seq"], r["url"])
-            for r in log.orderBy("crawl_seq").select("crawl_seq", "url").collect()
-        ]
-        seen = {r["url_h"] for r in log.select("url_h").collect()}
-        docs = {
-            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
-            for r in eng.documents().collect()
-        }
+        order, seen, docs = _order_seen_docs(eng)
         return order, seen, docs, eng
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -386,11 +392,7 @@ def test_priority_table_adaptive_order(spark, oracle):
         )
         # scheduling policy must not change WHAT was crawled
         assert {r["url_h"] for r in rows} == oracle.seen
-        docs = {
-            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
-            for r in eng.documents().collect()
-        }
-        assert docs == oracle.documents
+        assert _order_seen_docs(eng)[2] == oracle.documents
         # and it is a genuine reorder, not accidentally the static order
         assert got != [u for _, u in oracle.crawl_order]
     finally:
@@ -406,16 +408,7 @@ def test_wave_k_admission_still_converges(spark, oracle):
     try:
         eng = CrawlEngine(spark, EngineConfig(n_hotels=N_HOTELS, wave_k=150), d)
         eng.run()
-        log = eng.crawl_log()
-        order = [
-            (r["crawl_seq"], r["url"])
-            for r in log.orderBy("crawl_seq").select("crawl_seq", "url").collect()
-        ]
-        seen = {r["url_h"] for r in log.select("url_h").collect()}
-        docs = {
-            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
-            for r in eng.documents().collect()
-        }
+        order, seen, docs = _order_seen_docs(eng)
         _assert_equal(oracle, order, seen, docs)
         raw = eng.store.read_deltas("crawl_log", eng.store.latest_wave())
         per_wave = {
