@@ -38,8 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
         "url", F.concat(F.col("url"), F.lit("#other-fragment"))
     )
     frontier = (
-        base.unionByName(dups)
-        .withColumn("url_canon", urlkit.canonicalize(F.col("url")))
+        urlkit.with_canonical(base.unionByName(dups))
         .withColumn("url_h", urlkit.hash64(F.col("url_canon")))
         .withColumn("host", urlkit.host(F.col("url")))
         .dropDuplicates(["url_h"])

@@ -115,7 +115,7 @@ def bench_frontier(spark, n_urls: int, take_k: int | None = 2000):
     # raw url is dropped pre-shuffle (the canonical form IS the identity);
     # robots prefix-matching works on the canonical path
     fr = (
-        fr.withColumn("url_canon", urlkit.canonicalize(F.col("url")))
+        urlkit.with_canonical(fr)
         .withColumn("url_h", urlkit.hash64(F.col("url_canon")))
         .withColumn("host", urlkit.host(F.col("url_canon")))
         .drop("url")
@@ -453,7 +453,7 @@ def main():
                 "eff_1_to_4": 0.838,
                 "work_eff_2_to_8": 1.04,
                 "r3_best_available": {"eff_2_to_8": 0.789, "work_eff": 0.98, "normalized": 1.65, "window_ceiling": 0.48},
-                "r4_quiet_record": {"eff_1_to_4": 0.812, "work_eff_1_to_4": 0.951, "eff_2_to_8": 0.704, "normalized_2_to_8": 1.50, "window_ceiling_2_to_8": 0.47, "best_8c_urls_per_sec": 248512},
+                "r4_quiet_record": {"eff_1_to_4": 0.812, "work_eff_1_to_4": 0.951, "eff_2_to_8": 0.786, "work_eff_2_to_8": 0.988, "normalized_2_to_8": 1.27, "best_8c_urls_per_sec": 303052, "best_2c_urls_per_sec": 96422},
             },
             "method": "fresh process per leg, interleaved, best-of-2, identical 32-partition plans (external CPU steal on shared host)",
         }

@@ -494,10 +494,8 @@ def q64_link_extraction(spark, sf_dir):
     resolved = links.withColumn(
         "url_res", urlkit.resolve(F.col("page_url"), F.col("href"))
     )
-    return resolved.select(
-        "doc_id",
-        "href",
-        urlkit.canonicalize(F.col("url_res")).alias("url_canon"),
+    return urlkit.with_canonical(resolved, url_col="url_res").select(
+        "doc_id", "href", "url_canon"
     )
 
 

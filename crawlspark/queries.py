@@ -86,9 +86,11 @@ def q04_canonicalize(spark, sf_dir):
     df = d.withColumn(
         "url", _doc_url(F.col("source"), F.col("doc_id"), F.col("n_chars"))
     )
-    return df.select(
+    # staged canonicalize (urlkit.with_canonical): identical values to the
+    # expression form, ~5x less driver compile (CLAUDE.md composition trap)
+    return urlkit.with_canonical(df).select(
         "doc_id",
-        urlkit.canonicalize(F.col("url")).alias("url_canon"),
+        "url_canon",
         urlkit.host(F.col("url")).alias("host"),
     )
 

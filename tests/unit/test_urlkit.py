@@ -202,6 +202,31 @@ def test_idn_normalize_hosts_idempotent(spark):
     assert once[4].startswith("https://xn--eckwd4c7c.example/")
 
 
+def test_with_canonical_equals_expression_form(spark):
+    """The staged DataFrame form (projection boundary after
+    pct-normalization, ~5x less compile) must be value-identical to the
+    composed canonicalize expression on every canonicalization feature:
+    escapes, ports, fragments, tracking params, param order, slashes."""
+    rows = [
+        (1, "HTTPS://Docs.Example.COM:443/p%61ge%2f/%7Edoc?utm_source=x&b=2&a=1#frag"),
+        (2, "http://h.example:80/a/b///?z=1&ref=feed&y=2"),
+        (3, "https://h.example:8443/x?%41=1"),
+        (4, "ftp://Mixed.Case/PATH"),
+        (5, None),
+        (6, "https://h.example/trailing/"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    a = {
+        r["id"]: r["c"]
+        for r in df.select("id", urlkit.canonicalize(F.col("url")).alias("c")).collect()
+    }
+    b = {
+        r["id"]: r["url_canon"]
+        for r in urlkit.with_canonical(df).select("id", "url_canon").collect()
+    }
+    assert a == b
+
+
 def test_idn_normalize_hosts_passes_null_and_hostless_rows_through(spark):
     """A NULL url (or one with no parseable host) makes the non-ASCII
     predicate NULL, which fails BOTH branch filters — the row must pass
