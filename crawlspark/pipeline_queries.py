@@ -491,9 +491,7 @@ def q64_link_extraction(spark, sf_dir):
     # Janino compile.  Resolving into a named column first keeps each tree
     # linear; Catalyst's CollapseProject will not re-inline a non-cheap
     # expression referenced more than once.
-    resolved = links.withColumn(
-        "url_res", urlkit.resolve(F.col("page_url"), F.col("href"))
-    )
+    resolved = urlkit.with_resolved(links, "page_url", "href")
     return urlkit.with_canonical(resolved, url_col="url_res").select(
         "doc_id", "href", "url_canon"
     )

@@ -262,8 +262,17 @@ def resolve(base: Column, href: Column) -> Column:
     path depth, so the interpreted-lambda cost is a few steps per URL).
     Query-only ('?q') and fragment-only refs keep the base path.  Tested
     against Python's urllib.parse.urljoin on a seeded reference corpus."""
-    b = F.trim(base)
-    h = F.trim(href)
+    raw_path = _resolve_raw_path(F.trim(base), F.trim(href))
+    # dot-segment removal on the path component only
+    o2 = F.regexp_extract(raw_path, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+)", 1)
+    p2 = F.regexp_extract(raw_path, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    tail = F.regexp_extract(raw_path, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+[^?#]*([?#].*)?$", 1)
+    return _resolve_merge(o2, p2, tail)
+
+
+def _resolve_raw_path(b: Column, h: Column) -> Column:
+    """Absolutized-but-unnormalized target URL (RFC 3986 §5.3 merge) —
+    shared by the expression and staged forms of resolve."""
     origin = F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+)", 1)
     bpath = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
     bdir = F.when(
@@ -272,7 +281,7 @@ def resolve(base: Column, href: Column) -> Column:
     sch = F.regexp_extract(b, _SCHEME_RE, 1)
 
     bquery = F.regexp_extract(b, r"(\?[^#]*)", 1)
-    raw_path = (
+    return (
         F.when(h.rlike(_SCHEME_RE), h)  # already absolute
         .when(h.startswith("//"), F.concat(sch, F.lit(":"), h))
         .when(h.startswith("/"), F.concat(origin, h))
@@ -282,10 +291,11 @@ def resolve(base: Column, href: Column) -> Column:
         .when(h == "", F.concat(origin, bpath, bquery))
         .otherwise(F.concat(origin, bdir, h))
     )
-    # dot-segment removal on the path component only
-    o2 = F.regexp_extract(raw_path, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+)", 1)
-    p2 = F.regexp_extract(raw_path, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
-    tail = F.regexp_extract(raw_path, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+[^?#]*([?#].*)?$", 1)
+
+
+def _resolve_merge(o2: Column, p2: Column, tail: Column) -> Column:
+    """Dot-segment removal + reassembly over the (origin, path, ?#-tail)
+    components — shared by both resolve forms."""
     segs = F.split(p2, "/")
     folded = F.aggregate(
         segs,
@@ -306,3 +316,35 @@ def resolve(base: Column, href: Column) -> Column:
     return F.when(
         p2 == "", F.concat(o2, F.when(tail.isNull(), F.lit("")).otherwise(tail))
     ).otherwise(F.concat(o2, clean, F.when(tail.isNull(), F.lit("")).otherwise(tail)))
+
+
+def with_resolved(df, base_col: str, href_col: str, out_col: str = "url_res"):
+    """DataFrame-level ``resolve`` with projection boundaries between its
+    stages (raw-path merge, then component extraction, then dot-segment
+    fold): identical values to the expression form — both build from the
+    same _resolve_raw_path/_resolve_merge pieces — but each stage
+    references named columns instead of re-inlining the previous stage's
+    tree at every use (the CLAUDE.md expression-composition trap; the
+    expression form substitutes raw_path 3× and compounds through the
+    fold's re-references)."""
+    rp, c_o, c_p, c_t = (f"__{out_col}_{s}" for s in ("rp", "o", "p", "t"))
+    d = df.withColumn(
+        rp, _resolve_raw_path(F.trim(F.col(base_col)), F.trim(F.col(href_col)))
+    )
+    d = (
+        d.withColumn(
+            c_o, F.regexp_extract(F.col(rp), r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+)", 1)
+        )
+        .withColumn(
+            c_p, F.regexp_extract(F.col(rp), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+        )
+        .withColumn(
+            c_t,
+            F.regexp_extract(
+                F.col(rp), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+[^?#]*([?#].*)?$", 1
+            ),
+        )
+    )
+    return d.withColumn(
+        out_col, _resolve_merge(F.col(c_o), F.col(c_p), F.col(c_t))
+    ).drop(rp, c_o, c_p, c_t)
