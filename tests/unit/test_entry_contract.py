@@ -37,17 +37,32 @@ def test_rows_only_set_is_exactly_the_documented_exceptions():
 
 def test_driver_window_covers_the_freshest_keys():
     """The grading driver checks exactly the first 50 queries() entries in
-    iteration order (VERDICT r3).  Guard the r4 fix: the window list is 50
-    unique registered keys, iteration starts with it, and every key newer
-    than the thrice-verified basics (q49+, q54+) sits inside the window."""
+    iteration order (VERDICT r3).  r5 makes the window SELF-MAINTAINING
+    (VERDICT r4 "Next #1"): it is computed from the recorded
+    CORRECTNESS_r*.json files, least-recently-driver-checked keys first.
+    Guard the rotation invariants: 50 unique registered keys, iteration
+    starts with the window, never-checked keys are always inside it, and
+    max driver-row staleness is one round — every key OUTSIDE the window
+    must carry a driver row from the latest recorded round."""
     m = _entry()
     win = m._DRIVER_WINDOW_FIRST
     assert len(win) == 50 and len(set(win)) == 50
     qs = list(m.queries())
     assert qs[:50] == win
-    fresh = {k for k in qs if k >= "q49"}
-    missing = fresh - set(win)
-    assert not missing, f"fresh keys outside the driver window: {missing}"
+    last = m._LAST_DRIVER_ROUND
+    latest = max(last.values())
+    never_checked = {k for k in qs if k not in last}
+    assert never_checked <= set(win), (
+        f"never-driver-checked keys outside the window: "
+        f"{never_checked - set(win)}"
+    )
+    stale_out = {
+        k for k in set(qs) - set(win) if last.get(k, 0) < latest
+    }
+    assert not stale_out, (
+        f"keys rotated out without a latest-round (r{latest}) driver row — "
+        f"staleness would exceed 1 round: {stale_out}"
+    )
 
 
 def test_query_keys_are_well_formed():
