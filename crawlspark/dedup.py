@@ -429,6 +429,112 @@ def decontaminate(
     )
 
 
+def paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    mode: str = "fixed",
+    words_per: int = 16,
+    para_re: str = r"\n{2,}",
+) -> DataFrame:
+    """Split documents into ordered paragraphs -> (doc_id, para_idx, para).
+
+    ``mode="regex"`` splits on ``para_re`` (the real-corpus form — blank
+    lines, the Dolma unit); ``mode="fixed"`` chunks the whitespace word
+    stream into ``words_per``-word windows (the deterministic stand-in for
+    corpora without newline structure, mirrored exactly by DuckDB
+    list_slice in the q75 oracle).  Map-only either way: the word array is
+    staged behind a projection boundary so the transform lambda slices a
+    BOUND attribute — referencing the raw split() expression inside the
+    lambda would re-inline its tree per element (the nested-HOF O(n²)
+    compile/eval trap), and each slice is a bounded words_per-element copy,
+    so total work stays linear in document length."""
+    if mode == "regex":
+        arr = F.split(F.col(text_col), para_re)
+        return df.select("doc_id", F.posexplode(arr).alias("para_idx", "para"))
+    if mode != "fixed":
+        raise ValueError(f"mode must be 'fixed' or 'regex', got {mode!r}")
+    staged = df.withColumn("_ws", F.split(F.col(text_col), r"\s+"))
+    npara = F.ceil(F.size("_ws") / F.lit(float(words_per))).cast("int")
+    arr = F.transform(
+        textproc.seq1(npara),
+        lambda i: F.array_join(
+            F.slice(F.col("_ws"), (i - 1) * words_per + 1, words_per), " "
+        ),
+    )
+    return staged.select("doc_id", F.posexplode(arr).alias("para_idx", "para"))
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 2,
+    mode: str = "fixed",
+    words_per: int = 16,
+    para_re: str = r"\n{2,}",
+    sep: str = " ",
+) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination (the Dolma recipe): instead of
+    flagging whole documents (``decontaminate``/q68), excise only the
+    contaminated PARAGRAPHS — a paragraph sharing ``min_hits``+ distinct
+    n-word shingles with the benchmark set is dropped, the rest of the
+    document survives.  Returns every training doc as
+    (doc_id, n_paras, n_dropped, clean_text) with clean_text the
+    ``sep``-joined surviving paragraphs in original order ('' when every
+    paragraph was contaminated).
+
+    Scale shape: same as q68's broadcast strategy — the benchmark reduces
+    to its distinct 64-bit shingle keys (broadcast by contract: eval sets
+    are tiny), paragraph shingles are the exploded-words + window-lead +
+    n-ary xxhash64 chain keyed by (doc_id, para_idx) (whole-stage codegen,
+    no concat strings), and the scrub is one map-side hash join + two
+    (doc_id,para)-grain aggs.  The corpus is never shuffled by shingle; the
+    reassembly is one hash agg whose collect_list is bounded by the
+    document's own paragraph count."""
+    paras = paragraphs(train, text_col, mode=mode, words_per=words_per, para_re=para_re)
+    words = paras.select(
+        "doc_id",
+        "para_idx",
+        F.posexplode(F.split(F.lower(F.col("para")), r"\s+")).alias("pos", "w0"),
+    )
+    win = Window.partitionBy("doc_id", "para_idx").orderBy("pos")
+    cur = words
+    cols = [F.col("w0")]
+    for j in range(1, n):
+        cur = cur.withColumn(f"w{j}", F.lead("w0", j).over(win))
+        cols.append(F.col(f"w{j}"))
+    psh = (
+        cur.filter(F.col(f"w{n-1}").isNotNull())
+        .select("doc_id", "para_idx", F.xxhash64(*cols).alias("sh"))
+        .dropDuplicates(["doc_id", "para_idx", "sh"])
+    )
+    bench_sh = shingle_hashes(bench, text_col, n).select("sh").distinct()
+    hits = (
+        psh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id", "para_idx")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    flagged = paras.join(hits, ["doc_id", "para_idx"], "left").withColumn(
+        "bad", F.coalesce(F.col("n_hits") >= min_hits, F.lit(False))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("bad"), F.struct("para_idx", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------- MinHash + LSH
 
 N_PERM = 64

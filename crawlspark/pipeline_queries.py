@@ -726,6 +726,19 @@ def q44_ann_cosine_arrow(spark, sf_dir):
     return simsearch.topk_bruteforce_arrow(read(spark, sf_dir, "embeddings"), k=5)
 
 
+def q75_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination (dedup.decontaminate_spans — the Dolma
+    recipe): q68's eval slice (doc_id % 50 == 7) again plays the benchmark,
+    but instead of flagging whole training docs, each 16-word paragraph
+    sharing >= 2 distinct 3-gram shingles with the benchmark is EXCISED and
+    the document is reassembled from the surviving paragraphs.  Broadcast
+    eval-shingle join; the corpus is never shuffled by shingle."""
+    d = read(spark, sf_dir, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 7)
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 7)
+    return dedup.decontaminate_spans(train, bench, min_hits=2, words_per=16)
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -768,6 +781,7 @@ QUERIES = {
     "q72_revisit_priority": q72_revisit_priority,
     "q73_chunk_dedup_arrow": q73_chunk_dedup_arrow,
     "q74_fingerprint_overlap": q74_fingerprint_overlap,
+    "q75_decontaminate_spans": q75_decontaminate_spans,
 }
 
 def _ivf_oracle_sql(
@@ -1222,6 +1236,39 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "round(CAST(h.n_hits AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6) AS hit_ratio, "
         "h.n_hits >= 4 AS contaminated "
         "FROM hits h JOIN sizes s USING (doc_id)"
+    ),
+    # q75: the Spark side hashes shingles with xxhash64 (the scale form);
+    # the oracle keeps them as strings — identical hit counts, the same
+    # collision-free-at-sf contract q68 already hash-passes on.  Paragraphs
+    # are 16-word list_slice windows; string_agg(... ORDER BY para_idx)
+    # mirrors the sorted-struct array_join reassembly.
+    "q75_decontaminate_spans": (
+        "WITH tw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws "
+        "FROM documents WHERE doc_id % 50 <> 7), "
+        "bw AS (SELECT string_split_regex(lower(text), '\\s+') AS ws "
+        "FROM documents WHERE doc_id % 50 = 7), "
+        "bsh AS (SELECT DISTINCT unnest(list_transform("
+        "range(1, greatest(len(ws)-1, 1)), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM bw), "
+        "paras AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx, "
+        "array_to_string(list_slice(ws, (i-1)*16+1, (i-1)*16+16), ' ') AS para "
+        "FROM tw, unnest(range(1, CAST(ceil(len(ws)/16.0) AS BIGINT) + 1)) AS u(i)), "
+        "pw AS (SELECT doc_id, para_idx, "
+        "string_split_regex(lower(para), '\\s+') AS ws FROM paras), "
+        "psh AS (SELECT doc_id, para_idx, unnest(list_distinct(list_transform("
+        "range(1, greatest(len(ws)-1, 1)), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh FROM pw), "
+        "hits AS (SELECT doc_id, para_idx, CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM psh JOIN bsh USING (sh) GROUP BY 1, 2), "
+        "fl AS (SELECT p.doc_id, p.para_idx, p.para, "
+        "coalesce(h.n_hits >= 2, false) AS bad "
+        "FROM paras p LEFT JOIN hits h "
+        "ON h.doc_id = p.doc_id AND h.para_idx = p.para_idx) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, "
+        "CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, "
+        "coalesce(string_agg(CASE WHEN NOT bad THEN para END, ' ' "
+        "ORDER BY para_idx), '') AS clean_text "
+        "FROM fl GROUP BY doc_id"
     ),
     "q69_leakage_free_split": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ")
     + (

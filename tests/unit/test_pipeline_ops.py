@@ -813,6 +813,60 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert abs(r1["hit_ratio"] - round(r1["n_hits"] / r1["n_sh"], 6)) < 1e-12
 
 
+def test_decontaminate_spans_excises_only_planted_paragraphs(spark):
+    """Span-level decontamination (the Dolma recipe, q75): a train doc whose
+    MIDDLE paragraph copies a benchmark passage loses exactly that
+    paragraph — the clean paragraphs survive and reassemble in order; a
+    fully-contaminated doc degrades to clean_text='' and an untouched doc
+    reassembles to its original text verbatim."""
+    passage = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi"
+    )
+    p0 = " ".join(f"w{i:02d}" for i in range(16))
+    p2 = " ".join(f"z{i:02d}" for i in range(16))
+    bench = spark.createDataFrame([(1000, passage)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (1, f"{p0} {passage} {p2}"),  # middle paragraph planted
+            (2, passage),                 # fully contaminated
+            (3, f"{p0} {p2}"),            # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate_spans(
+            train, bench, min_hits=2, words_per=16
+        ).collect()
+    }
+    assert out[1]["n_paras"] == 3 and out[1]["n_dropped"] == 1
+    assert out[1]["clean_text"] == f"{p0} {p2}"
+    assert out[2]["n_paras"] == 1 and out[2]["n_dropped"] == 1
+    assert out[2]["clean_text"] == ""
+    assert out[3]["n_paras"] == 2 and out[3]["n_dropped"] == 0
+    assert out[3]["clean_text"] == f"{p0} {p2}"
+
+
+def test_paragraphs_regex_mode_splits_on_blank_lines(spark):
+    """The real-corpus paragraphizer: regex mode splits on blank lines and
+    preserves order via para_idx."""
+    df = spark.createDataFrame(
+        [(1, "first para here\n\nsecond para there\n\n\nthird one")],
+        "doc_id long, text string",
+    )
+    rows = (
+        dedup.paragraphs(df, mode="regex")
+        .orderBy("para_idx")
+        .collect()
+    )
+    assert [r["para"] for r in rows] == [
+        "first para here",
+        "second para there",
+        "third one",
+    ]
+
+
 def test_leakage_free_split_keeps_clusters_together(spark, docs):
     """Near-dup pairs must never straddle the train/val boundary — the whole
     point of splitting by cluster label instead of by doc."""
