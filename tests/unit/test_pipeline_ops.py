@@ -767,6 +767,26 @@ def test_fingerprint_overlap_catches_copied_passage(spark):
     assert (1, 2) not in jac
 
 
+def test_fingerprint_overlap_arrow_twin_bit_equal(spark, docs):
+    """VERDICT r4 'What's wrong #1': the scale form of q74 —
+    fingerprint_overlap_pairs(hash_fn='xxh', variant='arrow') — must equal
+    the xxh CODEGEN form bit-exactly (the q73 pattern: the composed
+    operator, not just the underlying fingerprint twins, is asserted).
+    The md5 codegen form stays the DuckDB-oracle shape."""
+    sub = docs.filter(F.col("doc_id") < 120)
+    kw = dict(k=8, w=16, max_df=20, min_shared=2)
+    codegen = dedup.fingerprint_overlap_pairs(
+        sub, hash_fn="xxh", variant="codegen", **kw
+    )
+    arrow = dedup.fingerprint_overlap_pairs(
+        sub, hash_fn="xxh", variant="arrow", **kw
+    )
+    cols = ["doc_a", "doc_b", "n_shared", "containment"]
+    a = sorted(map(tuple, codegen.select(*cols).collect()))
+    b = sorted(map(tuple, arrow.select(*cols).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_bloom_bits_no_false_negatives(spark):
     """Property of the decontamination prefilter: every inserted key tests
     as a member (bloom false negatives are impossible; the exact-join
