@@ -483,6 +483,7 @@ def main():
     # (all per-query timings) was truncated away and BENCH_r03.json came back
     # "parsed": null (VERDICT r3 "What's wrong #2").
     tag = os.environ.get("SPARK_GRAFT_ROUND", "latest")
+    full_pointer = None
     try:
         bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
         os.makedirs(bench_dir, exist_ok=True)
@@ -490,9 +491,11 @@ def main():
         with open(full_path, "w") as fh:
             json.dump(full_record, fh, indent=1)
         sys.stderr.write(f"full bench record -> {full_path}\n")
+        full_pointer = f"BENCH/bench_{tag}.json"
     except OSError as e:
         # a read-only checkout must degrade to losing the FULL record, never
-        # the compact stdout line the driver parses
+        # the compact stdout line the driver parses; the pointer stays null
+        # so it can never reference a stale record from a previous run
         sys.stderr.write(f"full bench record not written ({e})\n")
     # The final stdout line stays COMPACT (metric/value/unit/queries/sf plus
     # the two headline scalars) — well under the driver's capture window.
@@ -506,7 +509,7 @@ def main():
                 "sf": sf,
                 "frontier_urls_per_sec": round(thr_big, 1),
                 "scaling_efficiency": scaling.get("efficiency"),
-                "full_record": f"BENCH/bench_{tag}.json",
+                "full_record": full_pointer,
             },
             separators=(",", ":"),
         )

@@ -307,9 +307,12 @@ def fingerprint_overlap_pairs(
 
 def _bloom_bits_of_keys(keys: DataFrame, col: str, m: int, k: int):
     """Bloom bitset (uint64[m/64]) of a long-key column: one mapInPandas
-    pass emits a per-partition blob (m/8 bytes), the driver ORs them.
-    Probe math is seen.py's double-hashing (_probe_indices) — one shared
-    definition across the seen-set and this prefilter."""
+    pass emits a per-partition blob (m/8 bytes), the driver ORs them
+    INCREMENTALLY via toLocalIterator — driver memory holds one blob plus
+    the accumulator (2·m/8 bytes) regardless of partition count, where a
+    collect() would stage partitions × m/8 bytes at once (driver-ADVICE
+    r4).  Probe math is seen.py's double-hashing (_probe_indices) — one
+    shared definition across the seen-set and this prefilter."""
     import numpy as np
     import pandas as pd
 
@@ -332,9 +335,32 @@ def _bloom_bits_of_keys(keys: DataFrame, col: str, m: int, k: int):
             yield pd.DataFrame({"blob": [bits.tobytes()]})
 
     out = np.zeros(m // 64, dtype=np.uint64)
-    for r in keys.select(col).mapInPandas(build, "blob binary").collect():
+    for r in keys.select(col).mapInPandas(build, "blob binary").toLocalIterator():
         out |= np.frombuffer(r["blob"], dtype=np.uint64)
     return out
+
+
+# broadcast-bitset memo for decontaminate(strategy="bloom"): the broadcast
+# must outlive the returned LAZY DataFrame, so it can never be eagerly
+# destroyed — but a long-lived session re-scrubbing against the same
+# benchmark each crawl round would otherwise accumulate one m/8-byte
+# broadcast per call (driver-ADVICE r4).  Keyed by the bitset content
+# (md5) — identical bench/m/k produce an identical bitset and reuse one
+# broadcast; memory is bounded by the number of DISTINCT benchmark bitsets
+# seen in the session, not the number of calls.
+_BLOOM_BC_MEMO: dict = {}
+
+
+def _memoized_broadcast(spark, payload: bytes):
+    import hashlib
+
+    sc = spark.sparkContext
+    key = (id(sc), hashlib.md5(payload).hexdigest(), len(payload))
+    bc = _BLOOM_BC_MEMO.get(key)
+    if bc is None:
+        bc = sc.broadcast(payload)
+        _BLOOM_BC_MEMO[key] = bc
+    return bc
 
 
 def decontaminate(
@@ -378,7 +404,9 @@ def decontaminate(
     bitset must be materialized before it can be broadcast — the broadcast
     branch stays fully lazy), and the broadcast bitset lives until the
     session ends (it must outlive the returned lazy DataFrame, so it is
-    never eagerly destroyed; m/8 bytes per call)."""
+    never eagerly destroyed) but is MEMOIZED by content: repeated scrubs
+    against the same benchmark reuse one broadcast, so session memory is
+    m/8 bytes per distinct bitset, not per call."""
     if strategy not in ("broadcast", "bloom"):
         raise ValueError(
             f"strategy must be 'broadcast' or 'bloom', got {strategy!r}"
@@ -397,7 +425,7 @@ def decontaminate(
 
         m, k = bloom_m, bloom_k
         bits = _bloom_bits_of_keys(bench_sh, "sh", m, k)
-        bc = train.sparkSession.sparkContext.broadcast(bits.tobytes())
+        bc = _memoized_broadcast(train.sparkSession, bits.tobytes())
 
         # NO type hints on the udf body: this module's postponed annotations
         # stringify them and pandas_udf's hint inference rejects the strings

@@ -330,7 +330,10 @@ class CrawlEngine:
         return (
             df.join(pr, "host", "left")
             .withColumn("host_priority", F.coalesce(F.col("_hp"), dflt))
-            .drop("_hp")
+            # restore the input column order (the equi join moves the host
+            # key first) so both branches emit input-order + host_priority —
+            # the log schema is identical across configs, order included
+            .select(*df.columns, "host_priority")
         )
 
     # global admission order for the capacity-bound wave budget: host
@@ -645,8 +648,12 @@ class CrawlEngine:
         if raw is None:
             return self.spark.createDataFrame([], T.StructType([]))
         keyed = sched.with_canonical_key(raw)
+        # host_priority is ALWAYS present (literal default_host_priority
+        # when no table is configured) so the log schema is config-invariant
+        # — a consumer written against the static shape survives flipping
+        # the adaptive policy on (driver-ADVICE r4)
+        keyed = self._with_host_priority(keyed)
         if self.cfg.priority_table is not None:
-            keyed = self._with_host_priority(keyed)
             order = ["host_priority", *sched.CANONICAL_ORDER_COLS]
             return sched.assign_global_seq(keyed, order_cols=order).drop("ord_phase")
         return sched.assign_global_seq(keyed).drop("ord_phase")
@@ -662,3 +669,36 @@ class CrawlEngine:
     def wave_stats(self) -> DataFrame:
         wave = self.store.latest_wave() or 0
         return metrics.wave_stats(self._crawl_log_raw(wave))
+
+    def admission_stats(self) -> DataFrame:
+        """The wave_k admission budget's observability row, in the
+        bucket_cap_stats schema so it splices into metrics.pipeline_health
+        (no silent caps): n_rows = total fetches committed, max_bucket_n =
+        the largest single wave, buckets_dropped = waves that hit the
+        wave_k ceiling (their remainder was DEFERRED to later waves, so
+        rows_dropped is definitionally 0 — admission reorders work across
+        waves, it never loses it; the convergence equality tests are the
+        proof).  One hash agg over the committed crawl_log deltas."""
+        wave = self.store.latest_wave() or 0
+        raw = self._crawl_log_raw(wave)
+        spark = self.spark
+        if raw is None:
+            return spark.createDataFrame(
+                [(0, 0, 0, 0)],
+                "n_rows long, rows_dropped long, buckets_dropped long, "
+                "max_bucket_n long",
+            )
+        per_wave = raw.groupBy("wave").agg(F.count("*").alias("n"))
+        at_cap = (
+            (F.col("n") >= F.lit(int(self.cfg.wave_k)))
+            if self.cfg.wave_k is not None
+            else F.lit(False)
+        )
+        return per_wave.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("rows_dropped"),
+            F.coalesce(
+                F.sum(F.when(at_cap, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("buckets_dropped"),
+            F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("max_bucket_n"),
+        )

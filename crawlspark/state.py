@@ -34,6 +34,15 @@ class StateStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # single-entry memo per table for latest_snapshot_wave: the listing
+        # is O(snapshots) per call, and the delta-mode engine asks once per
+        # consumer per wave (rebase cadence + merge-on-read base) — at a
+        # 10^6-wave drive that compounds to O(waves²) directory scans.  The
+        # cache holds the last (upto_wave -> answer) per table and is
+        # dropped on every snapshot write; it never outlives the process, so
+        # resume-heavy drives (one wave per process) still read persistent
+        # state first (the r4 cadence fix is preserved).
+        self._snap_wave_cache: dict[str, tuple[int, Optional[int]]] = {}
         os.makedirs(root, exist_ok=True)
         self._recover_compaction()
 
@@ -86,6 +95,7 @@ class StateStore:
         return os.path.join(self.root, table, f"wave={wave}")
 
     def write_snapshot(self, df: DataFrame, table: str, wave: int) -> None:
+        self._snap_wave_cache.pop(table, None)
         df.write.mode("overwrite").parquet(self._dir(table, wave))
 
     def write_delta(self, df: DataFrame, table: str, wave: int) -> None:
@@ -103,7 +113,13 @@ class StateStore:
         (Spark's _SUCCESS marker present).  A rebase killed mid-write leaves
         a marker-less directory, which must be invisible — the previous
         complete snapshot plus the deltas since it reconstruct the same
-        state, exactly like an uncommitted Iceberg snapshot."""
+        state, exactly like an uncommitted Iceberg snapshot.
+
+        Memoized per (table, upto_wave) — one directory listing per wave
+        transition; write_snapshot drops the entry (see __init__)."""
+        cached = self._snap_wave_cache.get(table)
+        if cached is not None and cached[0] == upto_wave:
+            return cached[1]
         base = os.path.join(self.root, table)
         if not os.path.isdir(base):
             return None
@@ -119,7 +135,9 @@ class StateStore:
                 os.path.join(base, entry, "_SUCCESS")
             ):
                 waves.append(w)
-        return max(waves) if waves else None
+        out = max(waves) if waves else None
+        self._snap_wave_cache[table] = (upto_wave, out)
+        return out
 
     def read_deltas(self, table: str, upto_wave: int, schema=None) -> Optional[DataFrame]:
         """Union of wave deltas <= upto_wave, via partition-pruned read of the
@@ -146,6 +164,7 @@ class StateStore:
         import shutil
 
         self._recover_compaction()
+        self._snap_wave_cache.pop(table, None)  # dir tree is about to change
         base = os.path.join(self.root, table)
         if not os.path.isdir(base) or not os.listdir(base):
             return 0

@@ -604,3 +604,32 @@ def test_compacting_run_identical(spark, oracle):
         spark, EngineConfig(n_hotels=N_HOTELS, compact_every=2)
     )
     _assert_equal(oracle, order, seen, docs)
+
+
+def test_crawl_log_schema_is_config_invariant(spark, oracle):
+    """host_priority is part of the crawl_log schema in EVERY config
+    (literal default_host_priority when no table is set) — a consumer
+    written against the static shape survives turning the adaptive policy
+    on (driver-ADVICE r4).  The static order itself must stay the
+    oracle's."""
+    d = tempfile.mkdtemp(prefix="crawlspark_schema_")
+    try:
+        eng = CrawlEngine(spark, EngineConfig(n_hotels=N_HOTELS), d)
+        eng.run(max_waves=2)
+        static_log = eng.crawl_log()
+        assert "host_priority" in static_log.columns
+        vals = {r["host_priority"] for r in static_log.select("host_priority").collect()}
+        assert vals == {0.0}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    d2 = tempfile.mkdtemp(prefix="crawlspark_schema_")
+    try:
+        eng2 = CrawlEngine(
+            spark,
+            EngineConfig(n_hotels=N_HOTELS, priority_table=_priority_df(spark)),
+            d2,
+        )
+        eng2.run(max_waves=2)
+        assert eng2.crawl_log().columns == static_log.columns
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)

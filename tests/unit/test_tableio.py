@@ -108,3 +108,38 @@ def test_compaction_crash_window_is_recovered(spark, tmp_path):
     )
     StateStore(spark, root)
     assert not os.path.exists(os.path.join(root, "crawl_log.old"))
+
+
+def test_latest_snapshot_wave_memoized_and_invalidated_on_write(spark, tmp_path):
+    """The per-(table, wave) memo (r4 VERDICT 'What's wrong #3'): repeated
+    queries at the same wave answer from cache (a snapshot smuggled in
+    BEHIND the store's API is invisible), and write_snapshot through the
+    API drops the entry so the next read sees fresh state.  A NEW store
+    over the same root always reads persistent state first — the
+    resume-heavy cadence fix is preserved."""
+    import os
+
+    from crawlspark.state import StateStore
+
+    root = str(tmp_path / "state")
+    store = StateStore(spark, root)
+    df = spark.range(5).select(F.col("id").alias("url_h"))
+    store.write_snapshot(df, "frontier", 0)
+    assert store.latest_snapshot_wave("frontier", 9) == 0
+
+    # out-of-band directory (bypassing the API): the memo must mask it
+    src = os.path.join(root, "frontier", "wave=3")
+    dst = os.path.join(root, "frontier", "wave=7")
+    import shutil
+
+    store.write_snapshot(df, "frontier", 3)  # API write -> cache dropped
+    assert store.latest_snapshot_wave("frontier", 9) == 3
+    shutil.copytree(src, dst)
+    assert store.latest_snapshot_wave("frontier", 9) == 3  # cached answer
+    # different upto_wave misses the single-entry cache -> fresh listing
+    assert store.latest_snapshot_wave("frontier", 8) == 7
+    # API write invalidates
+    store.write_snapshot(df, "frontier", 8)
+    assert store.latest_snapshot_wave("frontier", 9) == 8
+    # a fresh store (new process in real drives) reads persistent state
+    assert StateStore(spark, root).latest_snapshot_wave("frontier", 9) == 8
