@@ -980,3 +980,42 @@ def test_revisit_priority_ranks_changing_stale_sources_first(spark, tmp_path):
     assert out[3]["staleness_hours"] == 0.0  # source 3 holds the corpus max ts
     assert out[3]["revisit_priority"] == 0.0  # fresh -> nothing to revisit yet
     assert out[1]["revisit_priority"] > 0  # changing AND stale -> act
+
+
+def test_pipeline_health_unifies_cap_stats(spark, docs):
+    """VERDICT r4 'Next #7': one labeled diagnostics frame carries every
+    capped generator's no-silent-caps signal; each row equals the
+    stand-alone twin, and extra same-schema rows (engine admission stats)
+    splice in."""
+    from crawlspark import metrics
+
+    sub = docs.filter(F.col("doc_id") < 100)
+    sigs = dedup.minhash_signatures(sub)
+    sh = dedup.simhash(sub)
+    extra = spark.createDataFrame(
+        [(42, 0, 1, 7)],
+        "n_rows long, rows_dropped long, buckets_dropped long, max_bucket_n long",
+    )
+    health = metrics.pipeline_health(
+        docs=sub, sigs=sigs, simhashes=sh, extra={"wave_k_admission": extra}
+    )
+    rows = {r["check"]: r for r in health.collect()}
+    assert set(rows) == {
+        "jaccard_stop_shingle",
+        "lsh_bucket_cap",
+        "simhash_bucket_cap",
+        "wave_k_admission",
+    }
+    assert rows["wave_k_admission"]["n_rows"] == 42
+    direct = dedup.jaccard_stop_shingle_stats(sub).collect()[0]
+    got = rows["jaccard_stop_shingle"]
+    assert (
+        got["n_rows"],
+        got["rows_dropped"],
+        got["buckets_dropped"],
+        got["max_bucket_n"],
+    ) == tuple(direct)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        metrics.pipeline_health()
