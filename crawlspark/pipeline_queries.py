@@ -739,6 +739,21 @@ def q75_decontaminate_spans(spark, sf_dir):
     return dedup.decontaminate_spans(train, bench, min_hits=2, words_per=16)
 
 
+def q76_bpe_token_count(spark, sf_dir):
+    """Tokenizer-accurate token counting (crawlspark.bpe): learn a
+    GPT-2-style merge table from the corpus (distributed vocab agg +
+    bounded driver-side rank learning), then count each doc's BPE tokens
+    through the Arrow-batched counter alongside the q37 regex proxies.
+    Rows-only by design: the BPE merge loop is not SQL-expressible —
+    correctness is the pure-Python-reference parity + Hypothesis losslessness
+    suite (tests/props/test_bpe_properties.py)."""
+    from crawlspark import bpe
+
+    d = read(spark, sf_dir, "documents")
+    merges = bpe.learn_merges(d, n_merges=100, max_vocab_rows=20000)
+    return textproc.token_counts(d, variant="bpe", merges=merges)
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -782,6 +797,7 @@ QUERIES = {
     "q73_chunk_dedup_arrow": q73_chunk_dedup_arrow,
     "q74_fingerprint_overlap": q74_fingerprint_overlap,
     "q75_decontaminate_spans": q75_decontaminate_spans,
+    "q76_bpe_token_count": q76_bpe_token_count,
 }
 
 def _ivf_oracle_sql(

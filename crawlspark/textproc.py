@@ -84,16 +84,51 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
-def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish regex token count (runs of letters,
-    runs of digits, single punctuation)."""
+def token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    variant: str = "regex",
+    merges: list | None = None,
+) -> DataFrame:
+    """Token counts per doc.
+
+    ``variant="regex"`` (default — the q37 oracle shape): whitespace tokens
+    plus a BPE-ish regex token count (runs of letters, runs of digits,
+    single punctuation) — native expressions, map-only.
+
+    ``variant="bpe"``: adds ``n_bpe_tokens``, the TOKENIZER-ACCURATE count
+    under a GPT-2-style merge list (crawlspark.bpe — pure-Python reference
+    semantics, Arrow-batched application; parity-tested).  ``merges`` is
+    required: learned once via bpe.learn_merges (bounded driver collect)
+    and reused across calls, the way a production pipeline ships a frozen
+    tokenizer.  Real packing budgets (pack_sequences merges=...) count
+    these, not regex words."""
+    if variant not in ("regex", "bpe"):
+        raise ValueError(f"variant must be 'regex' or 'bpe', got {variant!r}")
     t = F.lower(F.col(text_col))
+    base = df.select(
+        "doc_id",
+        F.size(F.split(t, r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_re_tokens"),
+    )
+    if variant == "regex":
+        return base
+    if merges is None:
+        raise ValueError("variant='bpe' requires a learned merge list")
+    from crawlspark import bpe
+
+    udf = bpe.token_count_udf(df.sparkSession, merges)
+    # one projection, map-only: the native counts and the Arrow UDF column
+    # evaluate in a single pass (no join, no shuffle)
     return df.select(
         "doc_id",
         F.size(F.split(t, r"\s+")).cast("long").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0)))
         .cast("long")
         .alias("n_re_tokens"),
+        udf(F.col(text_col)).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -180,6 +215,7 @@ def pack_sequences(
     stream_col: str = "source",
     order_col: str = "doc_id",
     text_col: str = "text",
+    merges: list | None = None,
 ) -> DataFrame:
     """Token-budget sequence packing: concatenate each stream's documents in
     a deterministic order and assign every doc its fixed-length training
@@ -191,14 +227,21 @@ def pack_sequences(
     window cumsum, so the whole op is two codegen stages at any scale.  At
     100 TB the stream key is the per-source shard — each stream's docs are
     ordered independently, so no global sort and no single-partition stage.
-    """
+
+    ``merges``: when given, budgets count TOKENIZER tokens (crawlspark.bpe
+    under this GPT-2-style merge list) instead of whitespace words — the
+    form a real pretraining pipeline packs by.  Same plan shape; the count
+    column becomes one Arrow-batched projection."""
     from pyspark.sql import Window
 
-    toks = df.select(
-        stream_col,
-        order_col,
-        F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
-    )
+    if merges is not None:
+        from crawlspark import bpe
+
+        udf = bpe.token_count_udf(df.sparkSession, merges)
+        n_tok = udf(F.col(text_col)).cast("long")
+    else:
+        n_tok = F.size(words(F.col(text_col))).cast("long")
+    toks = df.select(stream_col, order_col, n_tok.alias("n_tokens"))
     w = Window.partitionBy(stream_col).orderBy(order_col)
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return toks.select(

@@ -32,6 +32,7 @@ def test_rows_only_set_is_exactly_the_documented_exceptions():
         "q39_multimodal_features", # binary plumbing
         "q41_ann_lsh",             # xxhash-free but numpy-bucketed (rows-only by design)
         "q73_chunk_dedup_arrow",   # xxhash64 chunk ids; bit-equality unit test
+        "q76_bpe_token_count",     # BPE merge loop not SQL-expressible; parity props
     }
 
 
