@@ -58,6 +58,9 @@ HEADLINE = [
     # the MOSS sub-document overlap pairing
     "q73_chunk_dedup_arrow",
     "q74_fingerprint_overlap",
+    # round-5: span-level decontamination and tokenizer-true token counts
+    "q75_decontaminate_spans",
+    "q76_bpe_token_count",
 ]
 
 
