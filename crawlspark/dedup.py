@@ -568,29 +568,65 @@ def decontaminate_spans(
 N_PERM = 64
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", n_perm: int = N_PERM) -> DataFrame:
-    """(doc_id, m0..m{n-1}): per-permutation minimum of xxhash64(sh, i) over
-    the doc's 64-bit shingle hashes.  One aggregation with n_perm min()
-    columns — map-side combine, no row blowup (shingle rows are NOT exploded
-    n_perm times), and each permutation hashes an 8-byte long, not the
-    shingle string."""
-    sh = shingle_hashes(df, text_col)
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}") for i in range(n_perm)
-    ]
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    n_perm: int = N_PERM,
+    hash_fn: str = "xxh",
+) -> DataFrame:
+    """(doc_id, m0..m{n-1}): per-permutation minimum hash over the doc's
+    distinct 3-word shingles.  One aggregation with n_perm min() columns —
+    map-side combine, no row blowup (shingle rows are NOT exploded n_perm
+    times).
+
+    ``hash_fn="xxh"`` (default — the scale form): permutation i =
+    xxhash64(sh_hash, i) over 8-byte shingle hashes; signatures are longs.
+    ``hash_fn="md5"`` — the DuckDB-ORACLE twin (the q38/q61 discipline
+    brought to the sketches): permutation i = md5(shingle_string || '|i'),
+    minimum by lexicographic hex order, which DuckDB reproduces
+    token-for-token (min over uniform hex strings is an equally valid
+    MinHash permutation); signatures are 32-char hex strings — heavier
+    (string shingles + 32-byte values), so the md5 twin is the correctness
+    witness, not the production path."""
+    if hash_fn not in ("xxh", "md5"):
+        raise ValueError(f"hash_fn must be 'xxh' or 'md5', got {hash_fn!r}")
+    if hash_fn == "md5":
+        sh = word_shingles(df, text_col)
+        mins = [
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{i}")))).alias(f"m{i}")
+            for i in range(n_perm)
+        ]
+    else:
+        sh = shingle_hashes(df, text_col)
+        mins = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
+            for i in range(n_perm)
+        ]
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def _lsh_banded(sigs: DataFrame, n_perm: int, bands: int) -> DataFrame:
+def _lsh_banded(
+    sigs: DataFrame, n_perm: int, bands: int, hash_fn: str = "xxh"
+) -> DataFrame:
     """(doc_id, band, bh) band-hash rows — ONE posexplode pass shared by the
-    candidate join and its cap-stats twin, so the two can never drift."""
+    candidate join and its cap-stats twin, so the two can never drift.
+    hash_fn="md5" concatenates the band's hex signatures and md5s them (the
+    oracle-mirrorable form for md5 signatures)."""
     r = n_perm // bands
-    band_hash = F.array(
-        *[
-            F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)])
-            for b in range(bands)
-        ]
-    )
+    if hash_fn == "md5":
+        band_hash = F.array(
+            *[
+                F.md5(F.concat(*[F.col(f"m{b * r + j}") for j in range(r)]))
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_hash = F.array(
+            *[
+                F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)])
+                for b in range(bands)
+            ]
+        )
     return sigs.select("doc_id", F.posexplode(band_hash).alias("band", "bh"))
 
 
@@ -608,6 +644,7 @@ def lsh_candidate_pairs(
     n_perm: int = N_PERM,
     bands: int = 16,
     max_bucket: int = 1000,
+    hash_fn: str = "xxh",
 ) -> DataFrame:
     """Band the signature (r = n_perm/bands rows per band), bucket-join docs
     sharing any band hash: (doc_a, doc_b, est_jaccard).
@@ -628,7 +665,7 @@ def lsh_candidate_pairs(
     # single posexplode pass — a union of per-band projections would
     # recompute the (expensive) signature aggregation once per band
     exploded = _capped_bucket_rows(
-        _lsh_banded(sigs, n_perm, bands), ["band", "bh"], max_bucket
+        _lsh_banded(sigs, n_perm, bands, hash_fn), ["band", "bh"], max_bucket
     )
     a = exploded.select(F.col("doc_id").alias("doc_a"), "bh", "band")
     b_ = exploded.select(F.col("doc_id").alias("doc_b"), "bh", "band")
@@ -666,13 +703,27 @@ def lsh_candidate_pairs(
 # --------------------------------------------------------------------- SimHash
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", hash_fn: str = "xxh") -> DataFrame:
     """64-bit SimHash per doc: bit j of the fingerprint is the sign of
-    Σ_words (±1 by bit j of xxhash64(word)).  64 conditional-sum aggregate
-    columns + a shiftleft/sum reconstruction — all JVM-side."""
+    Σ_words (±1 by bit j of hash(word)).  64 conditional-sum aggregate
+    columns + a shiftleft/sum reconstruction — all JVM-side.
+
+    ``hash_fn="xxh"`` (default, the scale form): word hash = xxhash64.
+    ``hash_fn="md5"`` — the DuckDB-ORACLE twin (q77 discipline): word hash
+    = the first 15 hex chars of md5(word) as a 60-bit integer (bits 60-63
+    are constantly 0 — a 60-bit SimHash, which DuckDB reconstructs exactly
+    via positional hex-digit sums; q78 carries the full value-hash check).
+    Downstream banding/pairing (simhash_pairs) is hash_fn-agnostic."""
+    if hash_fn not in ("xxh", "md5"):
+        raise ValueError(f"hash_fn must be 'xxh' or 'md5', got {hash_fn!r}")
+    word_h = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+        if hash_fn == "md5"
+        else F.xxhash64("word")
+    )
     w = df.select(
         "doc_id", F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
-    ).withColumn("h", F.xxhash64("word"))
+    ).withColumn("h", word_h)
     sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

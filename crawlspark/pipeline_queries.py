@@ -739,6 +739,32 @@ def q75_decontaminate_spans(spark, sf_dir):
     return dedup.decontaminate_spans(train, bench, min_hits=2, words_per=16)
 
 
+def q77_minhash_lsh_md5(spark, sf_dir):
+    """The md5 ORACLE TWIN of q32's MinHash+LSH (the q38/q61 discipline
+    brought to the sketches): permutation i = md5(shingle || '|i') with
+    lexicographic-min signatures, band hash = md5 of the band's
+    concatenated hex signatures — every step DuckDB-mirrorable, so the
+    sketch family finally gets a full value-hash check.  xxh64 (q32) stays
+    the production path; this twin is the correctness witness."""
+    sigs = dedup.minhash_signatures(
+        read(spark, sf_dir, "documents"), hash_fn="md5"
+    ).localCheckpoint()
+    return dedup.lsh_candidate_pairs(sigs, hash_fn="md5").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+def q78_simhash_md5(spark, sf_dir):
+    """The md5 ORACLE TWIN of q33's SimHash near-dup pairs: word hash = the
+    first 15 md5 hex chars as a 60-bit integer, fingerprint reconstructed
+    from the 64 sign sums, pigeonhole 16-bit chunk join + exact
+    bit_count(xor) — every step DuckDB-expressible (positional hex-digit
+    sums + >> & xor bit_count), so the second sketch family also gets a
+    full value-hash check.  xxh64 (q33) stays the production path."""
+    sh = dedup.simhash(read(spark, sf_dir, "documents"), hash_fn="md5")
+    return dedup.simhash_pairs(sh, max_hamming=6)
+
+
 def q76_bpe_token_count(spark, sf_dir):
     """Tokenizer-accurate token counting (crawlspark.bpe): learn a
     GPT-2-style merge table from the corpus (distributed vocab agg +
@@ -798,7 +824,91 @@ QUERIES = {
     "q74_fingerprint_overlap": q74_fingerprint_overlap,
     "q75_decontaminate_spans": q75_decontaminate_spans,
     "q76_bpe_token_count": q76_bpe_token_count,
+    "q77_minhash_lsh_md5": q77_minhash_lsh_md5,
+    "q78_simhash_md5": q78_simhash_md5,
 }
+
+
+def _simhash_md5_oracle_sql(
+    bands: int = 4, max_bucket: int = 1000, max_hamming: int = 6
+) -> str:
+    """DuckDB mirror of q78: 60-bit word hash from the first 15 md5 hex
+    digits (positional digit sums — no hex cast needed), 64 sign sums,
+    power-of-two fingerprint reconstruction (bits 60-63 constantly 0, so
+    the BIGINT never overflows), chunk join with QUALIFY cap, exact
+    bit_count(xor) filter.  Generated so the 64 bit columns can't drift."""
+    h_terms = " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr(hx, {k + 1}, 1)) - 1) "
+        f"AS BIGINT) * {16 ** (15 - 1 - k)}"
+        for k in range(15)
+    )
+    s_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    fp_sum = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(60)  # bits 60-63 are constantly 0 under the 60-bit hash
+    )
+    chunks = ", ".join(str(b) for b in range(bands))
+    return (
+        "WITH wds AS (SELECT doc_id, unnest(string_split_regex(lower(text), "
+        "'\\s+')) AS word FROM documents), "
+        "hx0 AS (SELECT doc_id, md5(word) AS hx FROM wds), "
+        f"hs AS (SELECT doc_id, {h_terms} AS h FROM hx0), "
+        f"s AS (SELECT doc_id, {s_cols} FROM hs GROUP BY doc_id), "
+        f"fp AS (SELECT doc_id, CAST({fp_sum} AS BIGINT) AS simhash FROM s), "
+        f"ch AS (SELECT doc_id, simhash, b AS band, "
+        "(simhash >> (b * 16)) & 65535 AS chunk "
+        f"FROM fp, unnest([{chunks}]) AS t(b)), "
+        "capped AS (SELECT doc_id, simhash, band, chunk FROM ch "
+        f"QUALIFY count(*) OVER (PARTITION BY band, chunk) <= {max_bucket}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+        "FROM capped a JOIN capped b ON a.band = b.band AND a.chunk = b.chunk "
+        "AND a.doc_id < b.doc_id) "
+        f"SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}"
+    )
+
+
+def _minhash_md5_oracle_sql(
+    n_perm: int = 64, bands: int = 16, max_bucket: int = 1000, threshold: float = 0.5
+) -> str:
+    """DuckDB mirror of q77: md5 permutations, lexicographic min signatures,
+    md5 band hashes, QUALIFY bucket cap, per-position equality estimate —
+    generated so the 64 columns / 16 bands can't drift from the parameters.
+    Shares q68's shingle construction (string 3-grams over the lowercased
+    whitespace split)."""
+    r = n_perm // bands
+    mins = ", ".join(
+        f"min(md5(sh || '|{i}')) AS m{i}" for i in range(n_perm)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'm{b * r + j}' for j in range(r))}) AS bh FROM sig"
+        for b in range(bands)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(n_perm)
+    )
+    return (
+        "WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws "
+        "FROM documents), "
+        "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, greatest(len(ws)-1, 1)), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh FROM w), "
+        f"sig AS (SELECT doc_id, {mins} FROM sh0 GROUP BY doc_id), "
+        f"bands AS ({band_selects}), "
+        "capped AS (SELECT doc_id, band, bh FROM bands "
+        f"QUALIFY count(*) OVER (PARTITION BY band, bh) <= {max_bucket}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh "
+        "AND a.doc_id < b.doc_id) "
+        f"SELECT doc_a, doc_b, round(({eq_sum}) / {float(n_perm)}, 6) AS est_jaccard "
+        "FROM cand JOIN sig sa ON sa.doc_id = doc_a "
+        "JOIN sig sb ON sb.doc_id = doc_b "
+        f"WHERE round(({eq_sum}) / {float(n_perm)}, 6) >= {threshold}"
+    )
 
 def _ivf_oracle_sql(
     n_rounds: int = 2, n_cells: int = 16, dim: int = 64, nprobe: int = 4, k: int = 5
@@ -1373,3 +1483,6 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.35"
     ),
 }
+
+ORACLE["q77_minhash_lsh_md5"] = _minhash_md5_oracle_sql()
+ORACLE["q78_simhash_md5"] = _simhash_md5_oracle_sql()
