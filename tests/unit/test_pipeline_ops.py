@@ -1019,3 +1019,29 @@ def test_pipeline_health_unifies_cap_stats(spark, docs):
 
     with _pytest.raises(ValueError):
         metrics.pipeline_health()
+
+
+def test_decontaminate_spans_identity_without_overlap(spark):
+    """With a disjoint benchmark, span-level decontamination is the
+    IDENTITY: every paragraph survives and the reassembled clean_text
+    equals the original text byte-for-byte (the reassembly path itself is
+    therefore lossless — order, spacing, short-tail paragraphs)."""
+    rows = [
+        (
+            i,
+            " ".join(f"t{i}w{j}" for j in range((i * 13) % 37 + 1)),
+        )
+        for i in range(40)
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(999, "zz yy xx ww vv uu tt ss rr qq")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate_spans(train, bench, words_per=7).collect()
+    }
+    for doc_id, text in rows:
+        assert out[doc_id]["n_dropped"] == 0
+        assert out[doc_id]["clean_text"] == text
+        assert out[doc_id]["n_paras"] == (len(text.split()) + 6) // 7
