@@ -563,6 +563,75 @@ def decontaminate_spans(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    mode: str = "fixed",
+    words_per: int = 16,
+    para_re: str = r"\n{2,}",
+    sep: str = " ",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """CORPUS-INTERNAL line/paragraph dedup (the CCNet / RefinedWeb
+    boilerplate-removal recipe): a paragraph whose normalized exact hash
+    appears in ``min_df``+ DISTINCT documents is boilerplate (nav bars,
+    footers, cookie banners — the crawl-corpus noise that repeats across a
+    site) and is excised from every document that carries it; unique
+    paragraphs survive.  Complements ``decontaminate_spans`` (q75), which
+    scrubs against an EXTERNAL benchmark — this one needs no reference set.
+    Returns every doc as (doc_id, n_paras, n_dropped, clean_text) with
+    clean_text the ``sep``-joined survivors in original order ('' when the
+    whole document was boilerplate).
+
+    Scale shape: the corpus text never rides the line-hash shuffle — the
+    frequency pass moves only the narrow (lkey, doc_id) projection
+    (per-doc-distinct partial agg, then a count per lkey), and only the
+    BOILERPLATE keys (line_df >= min_df — the small side by construction:
+    boilerplate is the repeated minority) come back, joined to the narrow
+    (doc_id, para_idx, lkey) spine; AQE broadcasts that hit set when it
+    fits.  Reassembly is q75's one (doc_id)-grain hash agg, collect_list
+    bounded by the document's own paragraph count.  ``hash_fn="md5"`` is
+    the DuckDB-mirrorable oracle form (the q38/q61 discipline);
+    ``hash_fn="xxh"`` swaps in xxhash64 for a cheaper 64-bit key at scale
+    (identical drop decisions absent collisions)."""
+    if hash_fn == "md5":
+        key_of = lambda c: F.md5(c)  # noqa: E731
+    elif hash_fn == "xxh":
+        key_of = lambda c: F.xxhash64(c)  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxh', got {hash_fn!r}")
+    paras = paragraphs(df, text_col, mode=mode, words_per=words_per, para_re=para_re)
+    keyed = paras.withColumn("lkey", key_of(F.lower(F.trim(F.col("para")))))
+    spine = keyed.select("doc_id", "para_idx", "lkey")
+    boiler = (
+        spine.select("lkey", "doc_id")
+        .dropDuplicates(["lkey", "doc_id"])
+        .groupBy("lkey")
+        .agg(F.count("*").cast("long").alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+    )
+    hits = spine.join(boiler, "lkey").select("doc_id", "para_idx")
+    flagged = paras.join(
+        hits.withColumn("bad", F.lit(True)), ["doc_id", "para_idx"], "left"
+    ).withColumn("bad", F.coalesce(F.col("bad"), F.lit(False)))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("bad"), F.struct("para_idx", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------- MinHash + LSH
 
 N_PERM = 64

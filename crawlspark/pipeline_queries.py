@@ -780,6 +780,18 @@ def q76_bpe_token_count(spark, sf_dir):
     return textproc.token_counts(d, variant="bpe", merges=merges)
 
 
+def q79_line_dedup(spark, sf_dir):
+    """Corpus-internal boilerplate-line removal (dedup.dedup_lines — the
+    CCNet / RefinedWeb recipe): every 16-word paragraph whose normalized
+    md5 appears in >= 2 distinct documents is excised corpus-wide and each
+    document reassembled from its unique remainder.  The frequency pass
+    moves only narrow (lkey, doc_id) rows; the text never rides the
+    line-hash shuffle."""
+    return dedup.dedup_lines(
+        read(spark, sf_dir, "documents"), min_df=2, words_per=16
+    )
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -826,6 +838,7 @@ QUERIES = {
     "q76_bpe_token_count": q76_bpe_token_count,
     "q77_minhash_lsh_md5": q77_minhash_lsh_md5,
     "q78_simhash_md5": q78_simhash_md5,
+    "q79_line_dedup": q79_line_dedup,
 }
 
 
@@ -1390,6 +1403,30 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "coalesce(h.n_hits >= 2, false) AS bad "
         "FROM paras p LEFT JOIN hits h "
         "ON h.doc_id = p.doc_id AND h.para_idx = p.para_idx) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, "
+        "CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, "
+        "coalesce(string_agg(CASE WHEN NOT bad THEN para END, ' ' "
+        "ORDER BY para_idx), '') AS clean_text "
+        "FROM fl GROUP BY doc_id"
+    ),
+    # q79: same fixed-window paragraph CTE as q75; the line key is
+    # md5(lower(trim(para))) on BOTH sides (Spark md5 == DuckDB md5), the
+    # boilerplate set is the keys seen in >= 2 distinct docs, reassembly is
+    # the same string_agg ORDER BY para_idx mirror of the sorted-struct
+    # array_join.
+    "q79_line_dedup": (
+        "WITH tw AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws "
+        "FROM documents), "
+        "paras AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx, "
+        "array_to_string(list_slice(ws, (i-1)*16+1, (i-1)*16+16), ' ') AS para "
+        "FROM tw, unnest(range(1, CAST(ceil(len(ws)/16.0) AS BIGINT) + 1)) AS u(i)), "
+        "keyed AS (SELECT doc_id, para_idx, para, md5(lower(trim(para))) AS lkey "
+        "FROM paras), "
+        "boiler AS (SELECT lkey FROM (SELECT lkey, "
+        "count(DISTINCT doc_id) AS line_df FROM keyed GROUP BY 1) "
+        "WHERE line_df >= 2), "
+        "fl AS (SELECT k.doc_id, k.para_idx, k.para, b.lkey IS NOT NULL AS bad "
+        "FROM keyed k LEFT JOIN boiler b USING (lkey)) "
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, "
         "CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, "
         "coalesce(string_agg(CASE WHEN NOT bad THEN para END, ' ' "

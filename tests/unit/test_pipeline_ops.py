@@ -868,6 +868,69 @@ def test_decontaminate_spans_excises_only_planted_paragraphs(spark):
     assert out[3]["clean_text"] == f"{p0} {p2}"
 
 
+def test_dedup_lines_drops_planted_boilerplate_everywhere(spark):
+    """Corpus-internal line dedup (the CCNet/RefinedWeb recipe, q79): a
+    16-word cookie-banner paragraph planted in three docs (one of them
+    UPPERCASED — the key is case-normalized) is excised from all of them
+    wherever it sits; unique paragraphs survive in order; a doc that IS the
+    banner degrades to clean_text=''; a banner-free doc is untouched."""
+    banner = " ".join(f"cookie{i:02d}" for i in range(16))
+    u1 = " ".join(f"a{i:02d}" for i in range(16))
+    u2 = " ".join(f"b{i:02d}" for i in range(16))
+    u3 = " ".join(f"c{i:02d}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner} {u1}"),   # banner leads
+            (2, f"{u2} {banner}"),   # banner trails
+            (3, u3),                 # untouched
+            (4, banner.upper()),     # the banner itself, case-varied
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines(docs, min_df=2, words_per=16).collect()
+    }
+    assert out[1]["n_paras"] == 2 and out[1]["n_dropped"] == 1
+    assert out[1]["clean_text"] == u1
+    assert out[2]["n_paras"] == 2 and out[2]["n_dropped"] == 1
+    assert out[2]["clean_text"] == u2
+    assert out[3]["n_paras"] == 1 and out[3]["n_dropped"] == 0
+    assert out[3]["clean_text"] == u3
+    assert out[4]["n_paras"] == 1 and out[4]["n_dropped"] == 1
+    assert out[4]["clean_text"] == ""
+
+
+def test_dedup_lines_identity_on_all_unique_corpus_and_xxh_twin(spark):
+    """With every paragraph unique, dedup_lines is the identity (clean_text
+    reassembles the original word stream); the xxhash64 key variant makes
+    the same drop decisions as the md5 oracle form on both corpora."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j:02d}" for j in range(32))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    for r in dedup.dedup_lines(docs, min_df=2, words_per=16).collect():
+        assert r["n_dropped"] == 0
+        assert r["clean_text"] == " ".join(
+            f"d{r['doc_id']}w{j:02d}" for j in range(32)
+        )
+    banner = " ".join(f"cookie{i:02d}" for i in range(16))
+    shared = spark.createDataFrame(
+        [(1, banner + " one extra tail word"), (2, banner)],
+        "doc_id long, text string",
+    )
+    for corpus in (docs, shared):
+        md5_rows = sorted(
+            dedup.dedup_lines(corpus, min_df=2, words_per=16).collect()
+        )
+        xxh_rows = sorted(
+            dedup.dedup_lines(
+                corpus, min_df=2, words_per=16, hash_fn="xxh"
+            ).collect()
+        )
+        assert md5_rows == xxh_rows
+
+
 def test_paragraphs_regex_mode_splits_on_blank_lines(spark):
     """The real-corpus paragraphizer: regex mode splits on blank lines and
     preserves order via para_idx."""
