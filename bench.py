@@ -61,6 +61,8 @@ HEADLINE = [
     # round-5: span-level decontamination and tokenizer-true token counts
     "q75_decontaminate_spans",
     "q76_bpe_token_count",
+    "q79_line_dedup",
+    "q80_bm25",
 ]
 
 

@@ -792,6 +792,25 @@ def q79_line_dedup(spark, sf_dir):
     )
 
 
+# Fixed query-term set for q80: high-df terms plus one rare term ("dup",
+# df≈25/500 at sf0.01) so the idf spread is real.  A literal tuple, so the
+# isin() compiles to a codegen In-set below the aggregations.
+BM25_QUERY_TERMS = ("spark", "join", "window", "stream", "dup")
+
+
+def q80_bm25(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75) of every document against the fixed
+    query-term set — see textproc.bm25_scores for the plan contract (ONE
+    corpus scan: per-term conditional sums in a single groupBy(doc_id),
+    every global scalar — n_docs, avgdl, per-term df — in one broadcast
+    1-row aggregate, reused exchange plan-tested).  Python's ``1.2 + 1.0``
+    is the SAME double as the oracle's literal ``2.2``, so defaults
+    hash-match."""
+    return textproc.bm25_scores(
+        read(spark, sf_dir, "documents"), terms=BM25_QUERY_TERMS
+    )
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -839,6 +858,7 @@ QUERIES = {
     "q77_minhash_lsh_md5": q77_minhash_lsh_md5,
     "q78_simhash_md5": q78_simhash_md5,
     "q79_line_dedup": q79_line_dedup,
+    "q80_bm25": q80_bm25,
 }
 
 
@@ -1432,6 +1452,25 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "coalesce(string_agg(CASE WHEN NOT bad THEN para END, ' ' "
         "ORDER BY para_idx), '') AS clean_text "
         "FROM fl GROUP BY doc_id"
+    ),
+    # q80: the q43/q46 token CTE; constants written as the SAME decimal
+    # literals as the Spark side (2.2 / 1.2 / 0.25 / 0.75 — never k1+1 at
+    # runtime); per-doc sums are <= 5 terms so round(...,6) is safe under
+    # any partial-agg merge order.
+    "q80_bm25": (
+        "WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word "
+        "FROM documents), w2 AS (SELECT * FROM w WHERE word <> ''), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM w2 GROUP BY 1), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl), "
+        "qt AS (SELECT * FROM w2 WHERE word IN "
+        "('spark', 'join', 'window', 'stream', 'dup')), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM qt GROUP BY 1, 2), "
+        "dfw AS (SELECT word, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1) "
+        "SELECT doc_id, count(*) AS n_terms, "
+        "round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) "
+        "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25 "
+        "FROM tf JOIN dfw USING (word) JOIN dl USING (doc_id), s "
+        "GROUP BY doc_id"
     ),
     "q69_leakage_free_split": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ")
     + (

@@ -335,3 +335,89 @@ def cdc_chunks(
             chunk_id,
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 of every document against a fixed query-term set
+    (Robertson & Zaragoza 2009) — the retrieval-scoring primitive behind
+    quality-weighted sampling and contamination triage.  Returns
+    ``(doc_id, n_terms, bm25)`` for every doc containing >= 1 query term.
+
+    Plan contract (q80): the corpus is scanned and exploded ONCE.  The
+    query-term set is a FIXED small tuple, so per-term tf becomes
+    conditional sums inside a single ``groupBy(doc_id)`` — one wide
+    shuffle, map-side combined to one row per doc per partition.  Every
+    global scalar (n_docs, avgdl, and per-term df) folds into ONE 1-row
+    aggregate broadcast back over the per-doc frame (the q29 idiom, so
+    there is no vocabulary join at all for a literal term set).  The
+    per-doc aggregate is referenced twice (scalars + scoring), and both
+    references read the IDENTICAL column set, so Spark's exchange-reuse
+    rule collapses them into one physical exchange — a plan test pins the
+    single-scan shape.  idf = ln(1 + (N - df + 0.5)/(df + 0.5)), positive
+    for any df.  With the defaults, ``k1 + 1.0`` etc. are BIT-IDENTICAL to
+    the oracle's decimal literals (2.2 / 1.2 / 0.25 / 0.75), and per-doc
+    sums span <= len(terms) values, so ``round(.., 6)`` is stable under
+    any partial-agg merge order.
+    """
+    toks = df.select(
+        "doc_id", F.explode(words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # One 1-row aggregate carries EVERY global scalar; count(doc_id) (not
+    # count(*)) keeps this branch's column pruning identical to the scoring
+    # branch's, which is what makes the exchange reusable.
+    scalars = per_doc.agg(
+        F.count("doc_id").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    def idf(i):
+        return F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+
+    def term_w(i):
+        return F.when(
+            F.col(f"tf_{i}") > 0,
+            idf(i)
+            * (F.col(f"tf_{i}") * F.lit(k1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    n_terms = sum(
+        ((F.col(f"tf_{i}") > 0).cast("long") for i in range(len(terms))),
+        F.lit(0).cast("long"),
+    )
+    score = sum((term_w(i) for i in range(len(terms))), F.lit(0.0))
+    return (
+        per_doc.crossJoin(F.broadcast(scalars))
+        .withColumn("n_terms", n_terms)
+        .filter(F.col("n_terms") > 0)
+        .select(
+            "doc_id",
+            "n_terms",
+            F.round(score, 6).alias("bm25"),
+        )
+    )

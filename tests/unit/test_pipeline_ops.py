@@ -1108,3 +1108,43 @@ def test_decontaminate_spans_identity_without_overlap(spark):
         assert out[doc_id]["n_dropped"] == 0
         assert out[doc_id]["clean_text"] == text
         assert out[doc_id]["n_paras"] == (len(text.split()) + 6) // 7
+
+
+def test_bm25_scores_match_hand_computed_values(spark):
+    """Okapi BM25 (q80) against the closed-form formula computed in plain
+    Python on a 3-doc corpus: tf/df/dl/avgdl all exercised, a doc with no
+    query term is absent, n_terms counts matched terms."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark x y"),        # dl=5, tf: spark=2 join=1
+            (2, "join stream a b c d"),          # dl=6, tf: join=1 stream=1
+            (3, "nothing here at all"),          # dl=4, no query terms
+        ],
+        "doc_id long, text string",
+    )
+    terms = ("spark", "join", "stream", "dup", "window")
+    out = {
+        r["doc_id"]: r
+        for r in textproc.bm25_scores(docs, terms=terms).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_terms"] == 2 and out[2]["n_terms"] == 2
+
+    n_docs, avgdl, k1, b = 3.0, 5.0, 1.2, 0.75
+
+    def idf(df_):
+        return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
+    def w(tf_, df_, dl_):
+        return (
+            idf(df_)
+            * (tf_ * (k1 + 1.0))
+            / (tf_ + k1 * (1.0 - b + b * dl_ / avgdl))
+        )
+
+    exp1 = round(w(2, 1, 5) + w(1, 2, 5), 6)      # spark df=1, join df=2
+    exp2 = round(w(1, 2, 6) + w(1, 1, 6), 6)      # join df=2, stream df=1
+    assert out[1]["bm25"] == pytest.approx(exp1, abs=2e-6)
+    assert out[2]["bm25"] == pytest.approx(exp2, abs=2e-6)

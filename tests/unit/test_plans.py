@@ -186,6 +186,7 @@ def test_no_query_plans_a_cartesian_product(spark):
         "q70_unigram_logprob",   # 1-row corpus-total crossJoin(broadcast)
         "q71_host_pagerank",     # 1-row node-count crossJoin(broadcast)
         "q72_revisit_priority",  # 1-row now-ts crossJoin(broadcast)
+        "q80_bm25",              # 1-row n_docs/avgdl crossJoin(broadcast)
     }
     offenders, bnlj_new = [], []
     for k, fn in sorted(m.queries().items()):
@@ -263,3 +264,18 @@ def test_decontaminate_is_broadcast_hash_join(spark):
     p = plan_of(dedup.decontaminate(train, bench))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bm25_single_scan_via_runtime_exchange_reuse(spark):
+    """q80's contract: the corpus is scanned/exploded ONCE.  The per-doc
+    aggregate is referenced by both the 1-row scalar branch and the scoring
+    branch with identical column sets, so AQE's exchange-reuse must collapse
+    them — the FINAL adaptive plan carries a ReusedExchange and the whole
+    query runs the heavy (explode + groupBy doc_id) subtree a single time."""
+    from crawlspark import pipeline_queries as pq
+
+    df = pq.QUERIES["q80_bm25"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "ReusedExchange" in p, "per-doc exchange not reused (double scan)"
