@@ -63,6 +63,7 @@ HEADLINE = [
     "q76_bpe_token_count",
     "q79_line_dedup",
     "q80_bm25",
+    "q81_crawl_traps",
 ]
 
 

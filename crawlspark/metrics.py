@@ -50,6 +50,39 @@ def sessions(crawl_log: DataFrame, gap: str = "30 seconds") -> DataFrame:
     ).agg(F.count("*").alias("n_fetched"))
 
 
+def trap_stats(log: DataFrame, ratio_threshold: float = 2.5) -> DataFrame:
+    """Spider-trap host detection (the crawler-trap heuristic of Cho &
+    Garcia-Molina's crawl ordering work and IRLbot's URL-explosion signal,
+    SIGMOD'09): a host whose crawled URL space is a large multiple of its
+    distinct-content space is MANUFACTURING URLs — calendars, session ids,
+    faceted filters — and should be throttled or cut from the frontier.
+
+    Input: a fetch log ``(host, url, content_key)`` (content_key = any
+    content hash, e.g. md5(text)).  Output per host: fetch/URL/content
+    counts, ``url_per_content`` (round 6), and the ``is_trap`` flag.
+
+    Scale: ONE hash aggregation keyed by host.  The two count-distincts
+    plan as Spark's standard Expand two-round shape — each round map-side
+    combined, so the shuffle carries at most 2 rows per (host, url) /
+    (host, content) per partition, never the raw log.  Ratio + flag are
+    map-only over one row per host."""
+    return (
+        log.groupBy("host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("content_key").alias("n_content"),
+        )
+        .withColumn(
+            "url_per_content",
+            F.round(F.col("n_urls") / F.col("n_content"), 6),
+        )
+        .withColumn(
+            "is_trap", F.col("url_per_content") >= F.lit(ratio_threshold)
+        )
+    )
+
+
 def pipeline_health(
     docs: DataFrame | None = None,
     sigs: DataFrame | None = None,

@@ -811,6 +811,46 @@ def q80_bm25(spark, sf_dir):
     )
 
 
+def q81_crawl_traps(spark, sf_dir):
+    """Spider-trap host detection over a deterministic synthetic fetch log
+    (the q64/q50 synthesis idiom): 20 hosts derived from doc_id, three
+    fetches per doc; on the four "trap" hosts every fetch invents a fresh
+    ?session= URL while the content stays the doc's md5 — the URL-space /
+    content-space ratio metrics.trap_stats flags.  Trap hosts read ~3.0,
+    honest hosts 1.0.  One explode + one hash agg (see trap_stats for the
+    Expand contract)."""
+    from crawlspark import metrics
+
+    d = read(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example.com")
+    )
+    fetches = d.select(
+        "doc_id",
+        host.alias("host"),
+        ((F.col("doc_id") % 20) < 4).alias("trapish"),
+        F.md5("text").alias("content_key"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("host"),
+        F.lit("/doc"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("trapish"),
+            F.concat(
+                F.lit("?session="),
+                (F.col("doc_id") * 3 + F.col("i")).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return metrics.trap_stats(
+        fetches.select("host", url.alias("url"), "content_key"),
+        ratio_threshold=2.5,
+    )
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -859,6 +899,7 @@ QUERIES = {
     "q78_simhash_md5": q78_simhash_md5,
     "q79_line_dedup": q79_line_dedup,
     "q80_bm25": q80_bm25,
+    "q81_crawl_traps": q81_crawl_traps,
 }
 
 
@@ -1471,6 +1512,23 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25 "
         "FROM tf JOIN dfw USING (word) JOIN dl USING (doc_id), s "
         "GROUP BY doc_id"
+    ),
+    # q81: the same deterministic fetch-log synthesis (integer-derived
+    # hosts/urls + md5 content keys); is_trap compares the ROUNDED ratio on
+    # both sides so the flag can never disagree with the printed ratio.
+    "q81_crawl_traps": (
+        "WITH f AS (SELECT doc_id, "
+        "'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host, "
+        "doc_id % 20 < 4 AS trapish, md5(text) AS content_key, i "
+        "FROM documents, unnest([0, 1, 2]) AS u(i)), "
+        "log AS (SELECT host, 'https://' || host || '/doc' || CAST(doc_id AS VARCHAR) || "
+        "CASE WHEN trapish THEN '?session=' || CAST(doc_id * 3 + i AS VARCHAR) "
+        "ELSE '' END AS url, content_key FROM f) "
+        "SELECT host, count(*) AS n_fetches, count(DISTINCT url) AS n_urls, "
+        "count(DISTINCT content_key) AS n_content, "
+        "round(count(DISTINCT url) / count(DISTINCT content_key), 6) AS url_per_content, "
+        "round(count(DISTINCT url) / count(DISTINCT content_key), 6) >= 2.5 AS is_trap "
+        "FROM log GROUP BY host"
     ),
     "q69_leakage_free_split": _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ")
     + (

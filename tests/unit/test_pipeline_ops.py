@@ -1148,3 +1148,32 @@ def test_bm25_scores_match_hand_computed_values(spark):
     exp2 = round(w(1, 2, 6) + w(1, 1, 6), 6)      # join df=2, stream df=1
     assert out[1]["bm25"] == pytest.approx(exp1, abs=2e-6)
     assert out[2]["bm25"] == pytest.approx(exp2, abs=2e-6)
+
+
+def test_trap_stats_flags_url_manufacturing_host(spark):
+    """Spider-trap detection (q81): a host serving one content under four
+    session URLs reads url_per_content=4 and is flagged; an honest host
+    with one URL per distinct content reads 1.0 and is not; re-fetches of
+    the SAME url do not inflate the ratio."""
+    from crawlspark import metrics
+
+    log = spark.createDataFrame(
+        [
+            # trap.example.com: 1 content, 4 session urls
+            ("trap.example.com", "https://trap.example.com/?s=1", "c1"),
+            ("trap.example.com", "https://trap.example.com/?s=2", "c1"),
+            ("trap.example.com", "https://trap.example.com/?s=3", "c1"),
+            ("trap.example.com", "https://trap.example.com/?s=4", "c1"),
+            # ok.example.com: 2 contents, 2 urls, one url re-fetched
+            ("ok.example.com", "https://ok.example.com/a", "a1"),
+            ("ok.example.com", "https://ok.example.com/a", "a1"),
+            ("ok.example.com", "https://ok.example.com/b", "b1"),
+        ],
+        "host string, url string, content_key string",
+    )
+    out = {r["host"]: r for r in metrics.trap_stats(log).collect()}
+    t, ok = out["trap.example.com"], out["ok.example.com"]
+    assert t["n_fetches"] == 4 and t["n_urls"] == 4 and t["n_content"] == 1
+    assert t["url_per_content"] == 4.0 and bool(t["is_trap"])
+    assert ok["n_fetches"] == 3 and ok["n_urls"] == 2 and ok["n_content"] == 2
+    assert ok["url_per_content"] == 1.0 and not ok["is_trap"]
