@@ -64,6 +64,7 @@ HEADLINE = [
     "q79_line_dedup",
     "q80_bm25",
     "q81_crawl_traps",
+    "q82_contamination_report",
 ]
 
 

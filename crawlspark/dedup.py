@@ -563,6 +563,46 @@ def decontaminate_spans(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 4,
+) -> DataFrame:
+    """Per-BENCHMARK-doc contamination triage — the report the eval owner
+    reads after ``decontaminate``/q68 flags the corpus: for every benchmark
+    document, how many training documents share its n-gram shingles, how
+    many cross the ``min_hits`` contamination threshold, and how deep the
+    worst overlap runs.  Returns ``(bench_id, n_train_docs_hit,
+    n_contaminating, total_hits, max_hits)`` for every bench doc with at
+    least one hit.
+
+    Scale shape: q68's broadcast contract with the bench doc id KEPT — the
+    bench side stays eval-sized (thousands of docs by contract), so its
+    (bench_id, sh) attribution pairs broadcast and the training corpus is
+    never shuffled by shingle; only the hit rows (a tiny minority) carry
+    (bench_id, train_id) into the two downstream hash aggs."""
+    tsh = shingle_hashes(train, text_col=text_col, n=n)
+    bsh = shingle_hashes(bench, text_col=text_col, n=n).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    hits = tsh.join(F.broadcast(bsh), "sh").select(
+        "bench_id", F.col("doc_id").alias("train_id")
+    )
+    per_pair = hits.groupBy("bench_id", "train_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return per_pair.groupBy("bench_id").agg(
+        F.count("*").alias("n_train_docs_hit"),
+        F.sum((F.col("n_hits") >= min_hits).cast("long")).alias(
+            "n_contaminating"
+        ),
+        F.sum("n_hits").alias("total_hits"),
+        F.max("n_hits").alias("max_hits"),
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

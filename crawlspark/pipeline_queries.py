@@ -851,6 +851,18 @@ def q81_crawl_traps(spark, sf_dir):
     )
 
 
+def q82_contamination_report(spark, sf_dir):
+    """Per-benchmark-doc contamination triage (dedup.contamination_report):
+    the flip of q68 — same doc_id % 50 == 7 eval slice, but the report is
+    keyed by BENCH doc: which eval items leak into the corpus, through how
+    many training docs, and how deep the worst overlap runs.  Broadcast
+    (bench_id, sh) attribution join; the corpus never shuffles by shingle."""
+    d = read(spark, sf_dir, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 7)
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 7)
+    return dedup.contamination_report(train, bench)
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -900,6 +912,7 @@ QUERIES = {
     "q79_line_dedup": q79_line_dedup,
     "q80_bm25": q80_bm25,
     "q81_crawl_traps": q81_crawl_traps,
+    "q82_contamination_report": q82_contamination_report,
 }
 
 
@@ -1512,6 +1525,26 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25 "
         "FROM tf JOIN dfw USING (word) JOIN dl USING (doc_id), s "
         "GROUP BY doc_id"
+    ),
+    # q82: q68's shingle CTE with bench doc ids KEPT; Spark hashes shingles
+    # (xxhash64), the oracle keeps strings — outputs are COUNTS, identical
+    # under the collision-free-at-sf contract q68 already hash-passes on.
+    # sum(BIGINT) CAST per the DuckDB HUGEINT trap.
+    "q82_contamination_report": (
+        "WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws "
+        "FROM documents), "
+        "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, greatest(len(ws)-1, 1)), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh FROM w), "
+        "bench AS (SELECT doc_id AS bench_id, sh FROM sh0 WHERE doc_id % 50 = 7), "
+        "tr AS (SELECT doc_id AS train_id, sh FROM sh0 WHERE doc_id % 50 <> 7), "
+        "pp AS (SELECT bench_id, train_id, CAST(count(*) AS BIGINT) AS n_hits "
+        "FROM tr JOIN bench USING (sh) GROUP BY 1, 2) "
+        "SELECT bench_id, CAST(count(*) AS BIGINT) AS n_train_docs_hit, "
+        "CAST(sum(CASE WHEN n_hits >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminating, "
+        "CAST(sum(n_hits) AS BIGINT) AS total_hits, "
+        "max(n_hits) AS max_hits "
+        "FROM pp GROUP BY bench_id"
     ),
     # q81: the same deterministic fetch-log synthesis (integer-derived
     # hosts/urls + md5 content keys); is_trap compares the ROUNDED ratio on

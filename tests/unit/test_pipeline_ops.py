@@ -1177,3 +1177,39 @@ def test_trap_stats_flags_url_manufacturing_host(spark):
     assert t["url_per_content"] == 4.0 and bool(t["is_trap"])
     assert ok["n_fetches"] == 3 and ok["n_urls"] == 2 and ok["n_content"] == 2
     assert ok["url_per_content"] == 1.0 and not ok["is_trap"]
+
+
+def test_contamination_report_attributes_leaks_to_bench_docs(spark):
+    """q82: a bench doc copied verbatim into one train doc (18 shared
+    shingles), partially into another (4 — exactly at min_hits), and
+    grazed by a third (1 — below threshold) reports 3 hitting docs, 2
+    contaminating, total 23, max 18; a clean bench doc is absent."""
+    from crawlspark import dedup
+
+    bwords = [f"w{i:02d}" for i in range(20)]        # 18 shingles
+    bench = spark.createDataFrame(
+        [
+            (7, " ".join(bwords)),
+            (57, " ".join(f"clean{i:02d}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, " ".join(bwords)),                                 # full copy
+            (2, " ".join(bwords[:6] + [f"u2x{i}" for i in range(10)])),  # 4 shared
+            (3, " ".join(bwords[:3] + [f"u3x{i}" for i in range(10)])),  # 1 shared
+            (4, " ".join(f"u4x{i}" for i in range(20))),           # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["bench_id"]: r
+        for r in dedup.contamination_report(train, bench).collect()
+    }
+    assert set(out) == {7}
+    r = out[7]
+    assert r["n_train_docs_hit"] == 3
+    assert r["n_contaminating"] == 2
+    assert r["total_hits"] == 18 + 4 + 1
+    assert r["max_hits"] == 18
