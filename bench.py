@@ -65,6 +65,7 @@ HEADLINE = [
     "q80_bm25",
     "q81_crawl_traps",
     "q82_contamination_report",
+    "q83_novelty_scores",
 ]
 
 

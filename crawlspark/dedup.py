@@ -603,6 +603,38 @@ def contamination_report(
     )
 
 
+def novelty_scores(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a document's distinct
+    n-word shingles that appear in NO other document (corpus df == 1) —
+    the memorization/duplication-risk signal motivating Lee et al. 2022's
+    "Deduplicating Training Data Makes Language Models Better": a
+    low-novelty document is stitched from text repeated elsewhere even
+    when no single near-dup pair crosses a Jaccard threshold.  Returns
+    ``(doc_id, n_sh, n_novel, novelty)``.
+
+    Scale shape: shingle_hashes' (doc_id, sh) rows take ONE extra
+    exchange keyed by sh for a window count(*) — the jaccard single-pass
+    trick, no self-join and no df-table re-join; the hot-shingle
+    straggler bound is the measured BENCH §6e contract (the window form
+    wins even at a 10^6-occurrence shingle).  Then one doc_id hash agg."""
+    sh = shingle_hashes(df, text_col=text_col, n=n)
+    flagged = sh.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_sh"), 6)
+        )
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

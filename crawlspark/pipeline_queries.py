@@ -863,6 +863,13 @@ def q82_contamination_report(spark, sf_dir):
     return dedup.contamination_report(train, bench)
 
 
+def q83_novelty_scores(spark, sf_dir):
+    """Per-doc 3-gram novelty over the corpus (dedup.novelty_scores): the
+    df==1 shingle fraction — the memorization/duplication-risk audit that
+    catches stitched-together documents no pairwise threshold flags."""
+    return dedup.novelty_scores(read(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -913,6 +920,7 @@ QUERIES = {
     "q80_bm25": q80_bm25,
     "q81_crawl_traps": q81_crawl_traps,
     "q82_contamination_report": q82_contamination_report,
+    "q83_novelty_scores": q83_novelty_scores,
 }
 
 
@@ -1525,6 +1533,22 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25 "
         "FROM tf JOIN dfw USING (word) JOIN dl USING (doc_id), s "
         "GROUP BY doc_id"
+    ),
+    # q83: q68's shingle CTE + a df table join; ratio CAST to DOUBLE on
+    # both operands (DuckDB sum()->HUGEINT trap).  Spark hashes shingles,
+    # the oracle keeps strings — counts, same collision-free contract.
+    "q83_novelty_scores": (
+        "WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws "
+        "FROM documents), "
+        "sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, greatest(len(ws)-1, 1)), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh FROM w), "
+        "dfs AS (SELECT sh, count(*) AS df FROM sh0 GROUP BY 1) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh, "
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, "
+        "round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(count(*) AS DOUBLE), 6) AS novelty "
+        "FROM sh0 JOIN dfs USING (sh) GROUP BY doc_id"
     ),
     # q82: q68's shingle CTE with bench doc ids KEPT; Spark hashes shingles
     # (xxhash64), the oracle keeps strings — outputs are COUNTS, identical

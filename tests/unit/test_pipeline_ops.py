@@ -1213,3 +1213,29 @@ def test_contamination_report_attributes_leaks_to_bench_docs(spark):
     assert r["n_contaminating"] == 2
     assert r["total_hits"] == 18 + 4 + 1
     assert r["max_hits"] == 18
+
+
+def test_novelty_scores_split_repeated_vs_unique_shingles(spark):
+    """q83: a 16-word banner shared by two docs zeroes the novelty of a doc
+    that IS the banner (all 14 shingles df=2) and dilutes a doc that embeds
+    it; a fully unique doc scores exactly 1.0."""
+    from crawlspark import dedup
+
+    banner = " ".join(f"cookie{i:02d}" for i in range(16))   # 14 shingles
+    uniq = " ".join(f"u{i:02d}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, banner),                 # all shingles shared with doc 2
+            (2, f"{banner} {uniq}"),     # 32 words -> 30 shingles
+            (3, " ".join(f"v{i:02d}" for i in range(16))),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.novelty_scores(docs).collect()}
+    assert out[1]["n_sh"] == 14 and out[1]["n_novel"] == 0
+    assert out[1]["novelty"] == 0.0
+    # doc 2: the banner's 14 shingles are shared; the 2 bridge shingles
+    # (banner tail x uniq head) and the 14 uniq-only shingles are novel
+    assert out[2]["n_sh"] == 30 and out[2]["n_novel"] == 16
+    assert out[2]["novelty"] == round(16 / 30, 6)
+    assert out[3]["n_sh"] == 14 and out[3]["novelty"] == 1.0
