@@ -271,10 +271,18 @@ def test_bm25_single_scan_via_runtime_exchange_reuse(spark):
     aggregate is referenced by both the 1-row scalar branch and the scoring
     branch with identical column sets, so AQE's exchange-reuse must collapse
     them — the FINAL adaptive plan carries a ReusedExchange and the whole
-    query runs the heavy (explode + groupBy doc_id) subtree a single time."""
+    query runs the heavy (explode + groupBy doc_id) subtree a single time.
+
+    Runs at sf0.01, NOT the sf0.001 the rest of this file uses: other test
+    modules persist() the sf0.001 documents frame (module fixtures), and
+    the session CacheManager substitutes that InMemoryRelation into any
+    later plan over the same path — legitimate, but AQE then declines to
+    reuse exchanges over InMemoryTableScan children, which would fail this
+    assertion for reasons unrelated to q80's own plan.  No fixture ever
+    caches sf0.01."""
     from crawlspark import pipeline_queries as pq
 
-    df = pq.QUERIES["q80_bm25"](spark, SF)
+    df = pq.QUERIES["q80_bm25"](spark, "/root/testdata/sf0.01")
     df.collect()  # finalize the adaptive plan
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in p
