@@ -425,7 +425,8 @@ def main():
         cpu_thr = {c_small: 0.0, c_big: 0.0}
         ceil = {c_small: 0.0, c_big: 0.0}
         samples: dict[int, list] = {c_small: [], c_big: []}
-        for _ in range(2):
+        n_samples = int(os.environ.get("SPARK_GRAFT_SCALE_SAMPLES", "3"))
+        for _ in range(n_samples):
             for c in (c_small, c_big):
                 leg = _frontier_leg_subprocess(c, n_scale)
                 samples[c].append(leg["urls_per_sec"])
@@ -462,8 +463,9 @@ def main():
                 "work_eff_2_to_8": 1.04,
                 "r3_best_available": {"eff_2_to_8": 0.789, "work_eff": 0.98, "normalized": 1.65, "window_ceiling": 0.48},
                 "r4_quiet_record": {"eff_1_to_4": 0.812, "work_eff_1_to_4": 0.951, "eff_2_to_8": 0.786, "work_eff_2_to_8": 0.988, "normalized_2_to_8": 1.27, "best_8c_urls_per_sec": 303052, "best_2c_urls_per_sec": 96422},
+                "r5_record_16m": {"eff_2_to_8": 0.843, "work_eff_2_to_8": 0.974, "normalized_2_to_8": 1.32, "n_urls": 16_000_000, "best_2c_urls_per_sec": 130176, "best_8c_urls_per_sec": 438691, "method": "five interleaved rounds, best-of-5 per side, fresh process per leg — MEETS the >=0.8 criterion (BENCH/BASELINE.md section 2)"},
             },
-            "method": "fresh process per leg, interleaved, best-of-2, identical 32-partition plans (external CPU steal on shared host)",
+            "method": f"fresh process per leg, interleaved, best-of-{n_samples}, identical 32-partition plans (external CPU steal on shared host)",
         }
 
     total = round(sum(q_secs.values()) + f_sec, 3)
