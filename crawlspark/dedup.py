@@ -1085,8 +1085,21 @@ def embedding_neardup(
     cand = block_pairs.mapInPandas(screen, out_schema).dropDuplicates(
         ["vec_a", "vec_b"]
     )
-    # exact recheck with the oracle's own sequential-sum expressions — the
-    # output cosine is bit-identical to per-pair evaluation
+    return _exact_cos_pairs(emb, cand, threshold, id_col, vec_col)
+
+
+def _exact_cos_pairs(
+    emb: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact recheck of screened candidate pairs with the oracle's own
+    sequential-sum expressions — the output cosine is bit-identical to a
+    per-pair evaluation, so a numpy-matmul screen upstream (a superset by
+    the eps margin) never changes results, only cost.  ``cand`` is
+    (vec_a, vec_b); returns (vec_a, vec_b, cos) filtered to >= threshold."""
     d = emb.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -1107,6 +1120,124 @@ def embedding_neardup(
         .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    n_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 4,
+    train_assign: str = "arrow",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings with a k-means codebook and removing near-identical
+    pairs WITHIN each cluster — the published recipe for making embedding
+    dedup tractable at corpus scale, because the quadratic pair work is
+    bounded per cluster (O(Σ|cell|²) ≈ n²/k for balanced cells) instead of
+    n² over the corpus.
+
+    Stages (every one an already-verified primitive):
+      1. codebook — ``simsearch.train_ivf_centroids`` (seeded init,
+         fixed-point bit-deterministic means; ``train_assign`` picks the
+         driver/arrow/hof path, all bit-identical);
+      2. assignment — ``simsearch.ivf_assign_arrow`` (one numpy matmul per
+         Arrow batch, ties -> lowest cid);
+      3. within-cluster pairs — ``embedding_neardup``'s blocked-matmul
+         screen, with the block key extended to (cid, vid % n_blocks) so the
+         grid join only pairs blocks of the SAME cluster (no cross-cluster
+         work, no CartesianProduct);
+      4. exact recheck — ``_exact_cos_pairs`` (sequential-sum expressions,
+         bit-identical to the SQL oracle);
+      5. greedy keep-lowest (q42's convention): any vec that appears as the
+         HIGHER id of a >= threshold pair is dropped.
+
+    Returns one row per input vector: (vec_id, cluster_id, kept).
+
+    Scale notes: replication is O(n·n_blocks) within clusters only; callers
+    size n_blocks so two ~10⁴-vector cluster blocks fit an Arrow batch.  At
+    100 TB the codebook is trained on a sample (train_ivf_centroids
+    contract) with n_cells sized so cells stay ~10⁵-10⁶ vectors — the
+    SemDeDup paper's k≈10⁴ clusters over 5B embeddings is exactly this
+    shape."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from crawlspark import simsearch
+
+    cents = simsearch.train_ivf_centroids(
+        emb,
+        n_cells=n_cells,
+        n_rounds=n_rounds,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign=train_assign,
+    )
+    asg = simsearch.ivf_assign_arrow(
+        emb, n_cells=n_cells, id_col=id_col, vec_col=vec_col, centroids=cents
+    )
+    tagged = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).join(asg, "vid")
+    blocks = (
+        tagged.withColumn("blk", F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int"))
+        .groupBy("cid", "blk")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("items"))
+    )
+    grid = blocks.select(
+        "cid",
+        F.col("blk").alias("bi"),
+        F.col("items").alias("ia"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+    )
+    right = blocks.select("cid", F.col("blk").alias("bj"), F.col("items").alias("ib"))
+    block_pairs = grid.join(right, ["cid", "bj"])
+
+    eps = 1e-4  # covers the round(·,4) in the exact recheck (embedding_neardup)
+    out_schema = T.StructType(
+        [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
+    )
+
+    def screen(batches):
+        for pdf in batches:
+            frames = []
+            for bi, ia, bj, ib in zip(pdf["bi"], pdf["ia"], pdf["bj"], pdf["ib"]):
+                ids_a = np.array([r["vid"] for r in ia], dtype=np.int64)
+                Va = np.array([list(r["v"]) for r in ia], dtype=np.float64)
+                Va /= np.linalg.norm(Va, axis=1, keepdims=True)
+                if bi == bj:
+                    ids_b, Vb = ids_a, Va
+                else:
+                    ids_b = np.array([r["vid"] for r in ib], dtype=np.int64)
+                    Vb = np.array([list(r["v"]) for r in ib], dtype=np.float64)
+                    Vb /= np.linalg.norm(Vb, axis=1, keepdims=True)
+                C = Va @ Vb.T
+                ii, jj = np.nonzero(C >= threshold - eps)
+                a_ids, b_ids = ids_a[ii], ids_b[jj]
+                keep = a_ids != b_ids
+                a_ids, b_ids = a_ids[keep], b_ids[keep]
+                lo = np.minimum(a_ids, b_ids)
+                hi = np.maximum(a_ids, b_ids)
+                frames.append(pd.DataFrame({"vec_a": lo, "vec_b": hi}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    cand = block_pairs.mapInPandas(screen, out_schema).dropDuplicates(
+        ["vec_a", "vec_b"]
+    )
+    pairs = _exact_cos_pairs(emb, cand, threshold, id_col, vec_col)
+    dropped = pairs.select(F.col("vec_b").alias("vid")).distinct()
+    return (
+        asg.join(dropped.withColumn("hit", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("cid").alias("cluster_id"),
+            F.col("hit").isNull().alias("kept"),
+        )
     )
 
 

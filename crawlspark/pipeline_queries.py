@@ -870,6 +870,44 @@ def q83_novelty_scores(spark, sf_dir):
     return dedup.novelty_scores(read(spark, sf_dir, "documents"))
 
 
+def q85_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter rules (textproc.gopher_rules): the published
+    MassiveWeb per-document bounds — word count, mean word length, symbol
+    ratio, alpha-word fraction, stopword presence — as signals + per-rule
+    flags + the filtering conjunction.  Map-only, one scan."""
+    return textproc.gopher_rules(read(spark, sf_dir, "documents"))
+
+
+def q86_nb_quality(spark, sf_dir):
+    """Trained Naive-Bayes quality classifier (textproc.nb_quality_scores):
+    seed labels derive deterministically from the source id's parity (even
+    sources stand in for the curated reference corpus, the CCNet/GPT-3
+    recipe's "looks like Wikipedia" side), log-odds trained corpus-wide,
+    every doc scored and thresholded at 0."""
+    d = read(spark, sf_dir, "documents")
+    labels = d.select(
+        "doc_id",
+        (
+            (F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int") % 2) == 0
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return textproc.nb_quality_scores(d, labels)
+
+
+def q84_semdedup(spark, sf_dir):
+    """SemDeDup (dedup.semdedup): cluster embeddings with the q57-verified
+    trained codebook, drop near-identical pairs WITHIN each cluster — the
+    published recipe that bounds embedding-dedup's quadratic work per cell.
+    train_assign="driver" is q57's FAISS-style sample-trained-quantizer
+    contract (bit-identical to the distributed paths, safe at bench SFs by
+    the driver_max_rows count gate)."""
+    return dedup.semdedup(
+        read(spark, sf_dir, "embeddings"), threshold=0.35, train_assign="driver"
+    )
+
+
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_jaccard_shingles": q31_jaccard_shingles,
@@ -921,6 +959,9 @@ QUERIES = {
     "q81_crawl_traps": q81_crawl_traps,
     "q82_contamination_report": q82_contamination_report,
     "q83_novelty_scores": q83_novelty_scores,
+    "q84_semdedup": q84_semdedup,
+    "q85_gopher_rules": q85_gopher_rules,
+    "q86_nb_quality": q86_nb_quality,
 }
 
 
@@ -1005,15 +1046,15 @@ def _minhash_md5_oracle_sql(
         f"WHERE round(({eq_sum}) / {float(n_perm)}, 6) >= {threshold}"
     )
 
-def _ivf_oracle_sql(
-    n_rounds: int = 2, n_cells: int = 16, dim: int = 64, nprobe: int = 4, k: int = 5
-) -> str:
-    """DuckDB mirror of simsearch.ivf_topk with a TRAINED codebook: unrolls
-    the same Lloyd's rounds as CTEs.  Centroid means use the identical
-    fixed-point arithmetic (floor(x*1e6) BIGINT sums, then double division)
-    as train_ivf_centroids, so the trained centroids are bit-equal on both
-    sides; cosine-ordering parity (list_cosine_similarity vs the Spark HOF
-    dot/norms) is the same contract the untrained q57 already hash-passed."""
+def _ivf_train_asg_parts(
+    n_rounds: int = 2, n_cells: int = 16, dim: int = 64
+) -> list:
+    """Shared CTE prefix for the trained-codebook oracles (q57 IVF search,
+    q84 SemDeDup): v (double vectors), cent0..centN Lloyd's rounds with the
+    identical fixed-point arithmetic (floor(x*1e6) BIGINT sums, then double
+    division) as train_ivf_centroids, and the final asg (vid -> cid) nearest-
+    centroid assignment.  One builder, reused verbatim, so the trained
+    codebook cannot drift between the two oracles."""
     sums = ", ".join(
         f"CAST(sum(CAST(floor(v.v[{i + 1}] * 1000000.0) AS BIGINT)) AS BIGINT)"
         f" AS s{i}"
@@ -1048,6 +1089,21 @@ def _ivf_oracle_sql(
         "SELECT v.vid, c.cid, row_number() OVER (PARTITION BY v.vid "
         "ORDER BY list_cosine_similarity(v.v, c.cv) DESC, c.cid) AS rc "
         f"FROM v, {fin} c) WHERE rc = 1), "
+    )
+    return parts
+
+
+def _ivf_oracle_sql(
+    n_rounds: int = 2, n_cells: int = 16, dim: int = 64, nprobe: int = 4, k: int = 5
+) -> str:
+    """DuckDB mirror of simsearch.ivf_topk with a TRAINED codebook: the
+    shared _ivf_train_asg_parts rounds/assignment prefix plus the
+    probe/rerank tail.  Cosine-ordering parity (list_cosine_similarity vs
+    the Spark HOF dot/norms) is the same contract the untrained q57 already
+    hash-passed."""
+    parts = _ivf_train_asg_parts(n_rounds=n_rounds, n_cells=n_cells, dim=dim)
+    fin = f"cent{n_rounds}"
+    parts.append(
         "q AS (SELECT vid AS q_vec_id, v AS qv FROM v WHERE vid < 8), "
         "probe AS (SELECT q_vec_id, cid FROM ("
         "SELECT q_vec_id, c.cid, row_number() OVER (PARTITION BY q_vec_id "
@@ -1677,3 +1733,104 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
 
 ORACLE["q77_minhash_lsh_md5"] = _minhash_md5_oracle_sql()
 ORACLE["q78_simhash_md5"] = _simhash_md5_oracle_sql()
+
+
+def _semdedup_oracle_sql(threshold: float = 0.35) -> str:
+    """DuckDB mirror of q84: the SAME trained-codebook CTEs as q57
+    (_ivf_train_asg_parts — codebook parity proven there), then all
+    within-cluster pairs with round(cos,4) >= threshold and the greedy
+    keep-lowest drop (q42's convention: every HIGHER id of a hit pair is
+    dropped)."""
+    parts = _ivf_train_asg_parts()
+    parts.append(
+        "pr AS (SELECT a.vid AS vec_a, b.vid AS vec_b, "
+        "round(list_cosine_similarity(va.v, vb.v), 4) AS cos "
+        "FROM asg a JOIN asg b ON a.cid = b.cid AND a.vid < b.vid "
+        "JOIN v va ON va.vid = a.vid JOIN v vb ON vb.vid = b.vid), "
+        f"dropped AS (SELECT DISTINCT vec_b FROM pr WHERE cos >= {threshold}) "
+        "SELECT a.vid AS vec_id, a.cid AS cluster_id, (d.vec_b IS NULL) AS kept "
+        "FROM asg a LEFT JOIN dropped d ON d.vec_b = a.vid"
+    )
+    return "".join(parts)
+
+
+ORACLE["q84_semdedup"] = _semdedup_oracle_sql()
+
+
+def _gopher_rules_oracle_sql() -> str:
+    """DuckDB mirror of q85: same whole-text regex counts (regexp_extract_all
+    lengths vs Spark's regexp_count — both non-overlapping left-to-right
+    scans), same greatest(n,1) denominators, same round(·,4); the stopword
+    literal list is built from textproc.GOPHER_STOPWORDS so it cannot
+    drift."""
+    from crawlspark.textproc import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    nw = "CAST(greatest(len(ws), 1) AS DOUBLE)"
+    return (
+        "WITH w AS (SELECT doc_id, lower(text) AS t, "
+        "string_split_regex(lower(text), '\\s+') AS ws FROM documents), "
+        "s AS (SELECT doc_id, len(ws) AS n_words, "
+        "round(CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS DOUBLE) "
+        f"/ {nw}, 4) AS mean_word_len, "
+        "round(CAST(len(regexp_extract_all(t, '#')) "
+        "+ len(regexp_extract_all(t, '\\.\\.\\.')) "
+        f"+ len(regexp_extract_all(t, '…')) AS DOUBLE) / {nw}, 4) "
+        "AS symbol_ratio, "
+        "round(CAST(len(regexp_extract_all(' ' || t, '\\s[^\\s]*[a-z]')) "
+        f"AS DOUBLE) / {nw}, 4) AS frac_alpha_words, "
+        "len(list_distinct(list_intersect(list_distinct(ws), "
+        f"[{stops}]))) AS n_stop_distinct FROM w) "
+        "SELECT doc_id, n_words, mean_word_len, symbol_ratio, "
+        "frac_alpha_words, n_stop_distinct, "
+        "(n_words >= 50 AND n_words <= 100000) AS ok_word_count, "
+        "(mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len, "
+        "(symbol_ratio <= 0.1) AS ok_symbol_ratio, "
+        "(frac_alpha_words >= 0.8) AS ok_alpha_words, "
+        "(n_stop_distinct >= 2) AS ok_stopwords, "
+        "((n_words >= 50 AND n_words <= 100000) "
+        "AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
+        "AND symbol_ratio <= 0.1 AND frac_alpha_words >= 0.8 "
+        "AND n_stop_distinct >= 2) AS passes FROM s"
+    )
+
+
+ORACLE["q85_gopher_rules"] = _gopher_rules_oracle_sql()
+
+# q86: multinomial-NB quality classifier.  Same fixed-point-log discipline
+# as q70 (round(ln,6) -> floor(x*1e6+0.5) BIGINT sums, scalars folded in at
+# the end), CASE sums CAST to BIGINT (DuckDB's sum(BIGINT) is HUGEINT).
+ORACLE["q86_nb_quality"] = (
+    "WITH lab AS (SELECT doc_id, CASE WHEN "
+    "CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0 "
+    "THEN 1 ELSE 0 END AS label FROM documents), "
+    "w0 AS (SELECT d.doc_id, l.label AS lab, "
+    "unnest(string_split_regex(lower(d.text), '\\s+')) AS w "
+    "FROM documents d JOIN lab l USING (doc_id)), "
+    "w2 AS (SELECT * FROM w0 WHERE w <> ''), "
+    "vocab AS (SELECT w, "
+    "CAST(sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(sum(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0 "
+    "FROM w2 GROUP BY w), "
+    "scal AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, "
+    "CAST(sum(n0) AS BIGINT) AS t0, count(*) AS v FROM vocab), "
+    "pri AS (SELECT "
+    "CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1, "
+    "CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0 "
+    "FROM lab), "
+    "lo AS (SELECT w, "
+    "CAST(floor(round(ln(CAST(n1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE)), 6) "
+    "* 1000000.0 + 0.5) AS BIGINT) "
+    "- CAST(floor(round(ln(CAST(n0 + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE)), 6) "
+    "* 1000000.0 + 0.5) AS BIGINT) AS lo_fp FROM vocab, scal), "
+    "per_doc AS (SELECT doc_id, count(*) AS n_words, "
+    "CAST(sum(lo_fp) AS BIGINT) AS s FROM w2 JOIN lo USING (w) "
+    "GROUP BY doc_id) "
+    "SELECT doc_id, n_words, "
+    "round(CAST(s AS DOUBLE) / 1000000.0 "
+    "+ round(ln(CAST(d1 AS DOUBLE)), 6) - round(ln(CAST(d0 AS DOUBLE)), 6), 6) "
+    "AS nb_score, "
+    "(CAST(s AS DOUBLE) / 1000000.0 "
+    "+ round(ln(CAST(d1 AS DOUBLE)), 6) - round(ln(CAST(d0 AS DOUBLE)), 6)) > 0 "
+    "AS is_quality FROM per_doc, pri"
+)

@@ -421,3 +421,149 @@ def bm25_scores(
             F.round(score, 6).alias("bm25"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, Appendix A1.1 — the
+    public MassiveWeb recipe, also the skeleton of Dolma/RefinedWeb
+    filtering): per-document signals plus one boolean per rule plus the
+    conjunction, so downstream stages can either hard-filter (``passes``)
+    or re-weight on individual rule failures.
+
+    Signals and bounds (the paper's published thresholds):
+      - word count in [50, 100_000]                      -> ok_word_count
+      - mean word length in [3, 10] chars                -> ok_mean_word_len
+      - symbol-to-word ratio ('#' or '...'/'…') <= 0.1   -> ok_symbol_ratio
+      - >= 80% of words contain an alphabetic character  -> ok_alpha_words
+      - >= 2 distinct stopwords present                  -> ok_stopwords
+    (The paper's line-level bullet/ellipsis rules operate on display lines,
+    which this corpus' single-line documents don't have; they belong to the
+    line-grain operator family — see dedup.dedup_lines.)
+
+    Scale shape: map-only native expressions over one scan — no shuffle, no
+    HOF lambda doing per-element regex work (the CLAUDE.md transform() trap):
+    per-word facts are derived from whole-text regexp counts and set
+    intersections instead.  Ratios are exact divisions rounded to 4 — the
+    DuckDB mirror reproduces every value."""
+    t = F.lower(F.col(text_col))
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    # mean word length over non-whitespace chars (char count / word count)
+    mean_wlen = F.round(
+        F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / nw, 4
+    )
+    n_symbols = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"\.\.\.")
+    ) + F.regexp_count(t, F.lit("…"))
+    symbol_ratio = F.round(n_symbols.cast("double") / nw, 4)
+    # words containing a letter, counted on the WHOLE text (one regex scan,
+    # non-overlapping: each match consumes the word's leading separator
+    # through its first letter, so every lettered word counts exactly once)
+    n_alpha_words = F.regexp_count(
+        F.concat(F.lit(" "), t), F.lit(r"\s[^\s]*[a-z]")
+    )
+    frac_alpha = F.round(n_alpha_words.cast("double") / nw, 4)
+    n_stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    ok_wc = (n_words >= 50) & (n_words <= 100_000)
+    ok_mwl = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    ok_sym = symbol_ratio <= 0.1
+    ok_alpha = frac_alpha >= 0.8
+    ok_stop = n_stop_distinct >= 2
+    return df.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop_distinct.cast("long").alias("n_stop_distinct"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passes"),
+    )
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    labels: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Naive-Bayes quality classifier (the classic multinomial NB with
+    Laplace +1 smoothing — the public-recipe stand-in for CCNet/GPT-3's
+    fastText quality classifier: train log-odds on a labeled seed set, score
+    every document, keep score > 0).  ``labels`` is (doc_id, label) with
+    label 1 = curated/positive seed, 0 = negative; docs outside ``labels``
+    are scored but contribute nothing to training.
+
+    Per word w: lo(w) = ln((n1+1)/(T1+V)) − ln((n0+1)/(T0+V)); per doc:
+    score = ln(D1) − ln(D0) + Σ_occurrences lo(w);  is_quality = score > 0.
+
+    Shape (q70's discipline end-to-end): one exploded-word hash agg for the
+    class-conditional counts, corpus scalars (T1/T0/V and the doc-count
+    priors) in 1-row-agg crossJoins (q29 idiom, no driver count), an
+    AQE-sized join back to the words (a web-scale vocabulary exceeds
+    broadcast limits), one per-doc hash agg.  Determinism: each word's
+    log-odds is rounded to 6dp and summed as fixed-point BIGINTs (the
+    IVF-centroid trick), so the result is independent of partial-agg merge
+    order and bit-reproducible in the DuckDB mirror.
+
+    Out-of-vocabulary words carry no evidence (Laplace mass cancels only
+    approximately, so NB convention drops them — the vocab join is inner);
+    a doc with NO seed-vocabulary words at all is absent from the output
+    rather than scored on the prior alone."""
+    w = df.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.lit(-1)).alias("lab"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = w.filter(F.col("lab") >= 0).groupBy("w").agg(
+        F.sum(F.when(F.col("lab") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("lab") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+    )
+    scal = vocab.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n0").cast("long").alias("t0"),
+        F.count("*").cast("long").alias("v"),
+    )
+    pri = labels.agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("long").alias("d0"),
+    )
+
+    def _fp(x):
+        return F.floor(F.round(x, 6) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    lo = vocab.crossJoin(F.broadcast(scal)).select(
+        "w",
+        (
+            _fp(F.log((F.col("n1") + 1).cast("double")
+                      / (F.col("t1") + F.col("v")).cast("double")))
+            - _fp(F.log((F.col("n0") + 1).cast("double")
+                        / (F.col("t0") + F.col("v")).cast("double")))
+        ).alias("lo_fp"),
+    )
+    per_doc = (
+        w.join(lo, "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_words"), F.sum("lo_fp").alias("s"))
+    )
+    prior = F.round(F.log(F.col("d1").cast("double")), 6) - F.round(
+        F.log(F.col("d0").cast("double")), 6
+    )
+    score = F.col("s").cast("double") / F.lit(1000000.0) + prior
+    return per_doc.crossJoin(F.broadcast(pri)).select(
+        "doc_id",
+        "n_words",
+        F.round(score, 6).alias("nb_score"),
+        (score > 0).alias("is_quality"),
+    )

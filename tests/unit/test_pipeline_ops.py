@@ -111,6 +111,94 @@ def test_embedding_neardup_matches_numpy(spark, emb):
     assert got == want
 
 
+def test_semdedup_drops_planted_within_cluster_duplicate(spark, emb):
+    """SemDeDup semantics: a planted exact-duplicate vector (cos=1.0) must
+    land in its original's cluster and be the dropped member of the pair
+    (greedy keep-lowest), while at a threshold above the corpus's max
+    natural cosine (~0.51 at this SF) nothing ELSE is dropped; and the
+    driver/arrow codebook-training paths must give bit-identical output
+    (the train_ivf_centroids determinism contract, composed)."""
+    dup = emb.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.col("vec_id") + 9000
+    )
+    aug = emb.unionByName(dup)
+    out = dedup.semdedup(aug, threshold=0.9, train_assign="driver").toPandas()
+    assert len(out) == aug.count()  # one verdict per vector
+    by_id = out.set_index("vec_id")
+    assert by_id.loc[9000, "cluster_id"] == by_id.loc[0, "cluster_id"]
+    assert bool(by_id.loc[0, "kept"]) is True
+    assert bool(by_id.loc[9000, "kept"]) is False
+    assert (~out["kept"]).sum() == 1  # only the planted dup drops at 0.9
+    arrow = dedup.semdedup(aug, threshold=0.9, train_assign="arrow").toPandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = arrow.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_gopher_rules_flags_each_planted_failure_mode(spark, docs):
+    """One crafted doc per Gopher rule failure + one clean doc: each planted
+    doc must fail exactly its own rule, the clean doc must pass all five,
+    and over the real corpus BOTH outcomes of `passes` must occur (the
+    thresholds actually separate at this SF)."""
+    good = "the quick brown fox jumps over a lazy dog and then " * 10
+    crafted = spark.createDataFrame(
+        [
+            (1, good),                                   # passes everything
+            (2, "the a short doc"),                      # < 50 words
+            (3, ("# " * 30 + "the a of and " * 20)),     # symbol ratio > 0.1
+            (4, ("11 22 33 44 " * 20 + "the a of in")),  # alpha frac < 0.8
+            (5, " ".join(["zzz"] * 80)),                 # < 2 stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = textproc.gopher_rules(crafted).toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "passes"])
+    assert not bool(out.loc[2, "ok_word_count"])
+    assert not bool(out.loc[3, "ok_symbol_ratio"])
+    assert not bool(out.loc[4, "ok_alpha_words"])
+    assert not bool(out.loc[5, "ok_stopwords"])
+    # planted docs fail ONLY their own rule (word count aside, which the
+    # fillers deliberately satisfy)
+    for rule in ("ok_symbol_ratio", "ok_alpha_words", "ok_stopwords"):
+        assert bool(out.loc[1, rule])
+    corpus = textproc.gopher_rules(docs).toPandas()
+    assert corpus["passes"].any() and (~corpus["passes"]).any()
+
+
+def test_nb_quality_classifier_separates_planted_classes(spark):
+    """Train on a separable seed set (positive seeds full of 'excellent
+    wonderful prose', negative seeds full of 'spam pills click'), score two
+    UNLABELED docs: the one written in positive vocabulary must classify
+    is_quality=True, the spam-vocabulary one False — and unlabeled docs must
+    not have influenced training (scoring them twice with and without an
+    unrelated extra unlabeled doc gives identical log-odds sums)."""
+    rows = (
+        [(i, "excellent wonderful prose insightful " * 8) for i in range(4)]
+        + [(i + 10, "spam pills click buy now cheap " * 8) for i in range(4)]
+        + [(100, "excellent insightful prose indeed"), (101, "buy cheap pills now")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = spark.createDataFrame(
+        [(i, 1) for i in range(4)] + [(i + 10, 0) for i in range(4)],
+        "doc_id long, label int",
+    )
+    out = textproc.nb_quality_scores(docs, labels).toPandas().set_index("doc_id")
+    assert bool(out.loc[100, "is_quality"]) is True
+    assert bool(out.loc[101, "is_quality"]) is False
+    assert out.loc[100, "nb_score"] > 0 > out.loc[101, "nb_score"]
+    extra = spark.createDataFrame(
+        [(200, "unrelated neutral filler words entirely")],
+        "doc_id long, text string",
+    )
+    out2 = (
+        textproc.nb_quality_scores(docs.unionByName(extra), labels)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out2.loc[100, "nb_score"] == out.loc[100, "nb_score"]
+    assert out2.loc[101, "nb_score"] == out.loc[101, "nb_score"]
+
+
 def test_winnowing_fingerprint_locality(spark):
     """Hallmark of winnowing: a local edit changes only a bounded number of
     fingerprints; disjoint texts share none."""

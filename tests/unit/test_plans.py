@@ -187,6 +187,7 @@ def test_no_query_plans_a_cartesian_product(spark):
         "q71_host_pagerank",     # 1-row node-count crossJoin(broadcast)
         "q72_revisit_priority",  # 1-row now-ts crossJoin(broadcast)
         "q80_bm25",              # 1-row n_docs/avgdl crossJoin(broadcast)
+        "q86_nb_quality",        # 1-row scalars/priors crossJoin(broadcast)
     }
     offenders, bnlj_new = [], []
     for k, fn in sorted(m.queries().items()):
