@@ -66,6 +66,11 @@ HEADLINE = [
     "q81_crawl_traps",
     "q82_contamination_report",
     "q83_novelty_scores",
+    # late-r5: SemDeDup, Gopher rules, NB classifier, embedding decontam
+    "q84_semdedup",
+    "q85_gopher_rules",
+    "q86_nb_quality",
+    "q87_embedding_decontaminate",
 ]
 
 

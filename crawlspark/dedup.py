@@ -1100,15 +1100,36 @@ def _exact_cos_pairs(
     per-pair evaluation, so a numpy-matmul screen upstream (a superset by
     the eps margin) never changes results, only cost.  ``cand`` is
     (vec_a, vec_b); returns (vec_a, vec_b, cos) filtered to >= threshold."""
-    d = emb.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    return _exact_cos_pairs_ab(emb, emb, cand, threshold, id_col, vec_col)
+
+
+def _exact_cos_pairs_ab(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-frame form of ``_exact_cos_pairs``: vec_a ids resolve against
+    ``emb_a``, vec_b ids against ``emb_b`` (they may overlap — each side
+    only ever joins its own frame)."""
+
+    def _prep(e):
+        return e.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ).withColumn(
+            "norm",
+            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+
+    a = _prep(emb_a).select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
-    a = d.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = d.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    b = _prep(emb_b).select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
         F.lit(0.0),
@@ -1237,6 +1258,87 @@ def semdedup(
             F.col("vid").alias("vec_id"),
             F.col("cid").alias("cluster_id"),
             F.col("hit").isNull().alias("kept"),
+        )
+    )
+
+
+def embedding_decontaminate(
+    emb: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_max_rows: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus vector
+    whose cosine against ANY benchmark vector reaches ``threshold`` — the
+    semantic complement of the n-gram scrub (``decontaminate``/q68), which
+    misses paraphrased eval leakage that embeddings catch.
+
+    Returns one row per corpus vector: (vec_id, n_bench_hits, contaminated).
+
+    Scale shape mirrors decontaminate's broadcast contract: the BENCH side
+    is the small-by-nature frame (an eval set), so its matrix is collected
+    once — gated IN CODE by ``bench_max_rows`` via a bounded limit-probe,
+    raising rather than silently collecting an unbounded frame — and closed
+    over a mapInPandas screen: one numpy matmul per corpus Arrow batch, the
+    corpus itself never shuffled.  Screened (vec, bench) hits (threshold −
+    eps margin) are then re-checked with ``_exact_cos_pairs_ab``'s
+    sequential-sum expressions, so the emitted hit set is bit-identical to
+    per-pair evaluation and the DuckDB mirror.  The final flag join touches
+    only the hit minority (AQE broadcasts it)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    probe = bench.select(F.lit(1).alias("one")).limit(bench_max_rows + 1).count()
+    if probe > bench_max_rows:
+        raise ValueError(
+            f"bench side exceeds bench_max_rows={bench_max_rows}; "
+            "decontaminate against a bench sample or raise the gate "
+            "explicitly — the broadcast-matrix contract needs a "
+            "driver-sized bench frame"
+        )
+    b_rows = sorted(
+        (int(r[0]), list(r[1]))
+        for r in bench.select(id_col, vec_col).collect()
+    )
+    b_ids = np.array([i for i, _ in b_rows], dtype=np.int64)
+    B = np.array([v for _, v in b_rows], dtype=np.float64)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+
+    eps = 1e-4  # covers the round(·,4) in the exact recheck
+    out_schema = T.StructType(
+        [T.StructField("vec_a", T.LongType()), T.StructField("vec_b", T.LongType())]
+    )
+
+    def screen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            C = Vn @ Bn.T
+            ii, jj = np.nonzero(C >= threshold - eps)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({"vec_a": ids[ii], "vec_b": b_ids[jj]})
+
+    cand = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(screen, out_schema)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    hits = _exact_cos_pairs_ab(emb, bench, cand, threshold, id_col, vec_col)
+    agg = hits.groupBy("vec_a").agg(F.count("*").cast("long").alias("n_bench_hits"))
+    return (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .join(agg.withColumnRenamed("vec_a", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_bench_hits"), F.lit(0).cast("long")).alias(
+                "n_bench_hits"
+            ),
+            F.col("n_bench_hits").isNotNull().alias("contaminated"),
         )
     )
 

@@ -896,6 +896,19 @@ def q86_nb_quality(spark, sf_dir):
     return textproc.nb_quality_scores(d, labels)
 
 
+def q87_embedding_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (dedup.embedding_decontaminate):
+    vec_id % 25 == 3 plays the held-out eval embedding set (20 vectors),
+    the rest the training corpus; every corpus vector within cosine 0.35 of
+    ANY bench vector is flagged — the paraphrase-robust complement of q68's
+    n-gram scrub.  Broadcast bench matrix + map-only screen + bit-exact
+    recheck (embedding_neardup's contract, cross-frame)."""
+    e = read(spark, sf_dir, "embeddings")
+    bench = e.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 3)
+    corpus = e.filter(F.pmod(F.col("vec_id"), F.lit(25)) != 3)
+    return dedup.embedding_decontaminate(corpus, bench, threshold=0.35)
+
+
 def q84_semdedup(spark, sf_dir):
     """SemDeDup (dedup.semdedup): cluster embeddings with the q57-verified
     trained codebook, drop near-identical pairs WITHIN each cluster — the
@@ -962,6 +975,7 @@ QUERIES = {
     "q84_semdedup": q84_semdedup,
     "q85_gopher_rules": q85_gopher_rules,
     "q86_nb_quality": q86_nb_quality,
+    "q87_embedding_decontaminate": q87_embedding_decontaminate,
 }
 
 
@@ -1796,6 +1810,24 @@ def _gopher_rules_oracle_sql() -> str:
 
 
 ORACLE["q85_gopher_rules"] = _gopher_rules_oracle_sql()
+
+# q87: embedding-space decontamination.  Same list_cosine_similarity /
+# round(·,4) parity contract as q40; the bench slice is vec_id % 25 == 3.
+ORACLE["q87_embedding_decontaminate"] = (
+    "WITH v AS (SELECT vec_id AS vid, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings WHERE vec_id % 25 <> 3), "
+    "b AS (SELECT vec_id AS bid, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings WHERE vec_id % 25 = 3), "
+    "hits AS (SELECT v.vid, b.bid FROM v, b "
+    "WHERE round(list_cosine_similarity(v.v, b.v), 4) >= 0.35), "
+    "agg AS (SELECT vid, count(*) AS n FROM hits GROUP BY vid) "
+    "SELECT v.vid AS vec_id, "
+    "CAST(coalesce(a.n, 0) AS BIGINT) AS n_bench_hits, "
+    "(a.n IS NOT NULL) AS contaminated "
+    "FROM v LEFT JOIN agg a USING (vid)"
+)
 
 # q86: multinomial-NB quality classifier.  Same fixed-point-log discipline
 # as q70 (round(ln,6) -> floor(x*1e6+0.5) BIGINT sums, scalars folded in at

@@ -135,6 +135,39 @@ def test_semdedup_drops_planted_within_cluster_duplicate(spark, emb):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_embedding_decontaminate_flags_planted_bench_copy(spark, emb):
+    """A corpus vector that IS a bench vector (cos=1.0) must be flagged,
+    clean-by-construction corpus rows must not be, n_bench_hits must agree
+    with a brute-force numpy count at the same rounded threshold, and the
+    bench_max_rows gate must raise rather than collect an oversized bench
+    frame."""
+    import numpy as np
+
+    bench = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8).unionByName(
+        bench.limit(1).withColumn("vec_id", F.col("vec_id") + 9000)
+    )
+    out = (
+        dedup.embedding_decontaminate(corpus, bench, threshold=0.9)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert bool(out.loc[9000, "contaminated"]) is True
+    assert out.loc[9000, "n_bench_hits"] >= 1
+    # brute-force check of the full flag set at the operator's threshold
+    c_pdf = corpus.toPandas().sort_values("vec_id")
+    b_pdf = bench.toPandas().sort_values("vec_id")
+    V = np.array(list(c_pdf.embedding), dtype=np.float64)
+    B = np.array(list(b_pdf.embedding), dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    B /= np.linalg.norm(B, axis=1, keepdims=True)
+    want = (np.round(V @ B.T, 4) >= 0.9).sum(axis=1)
+    got = out.loc[c_pdf.vec_id.to_numpy(), "n_bench_hits"].to_numpy()
+    assert (got == want).all()
+    with pytest.raises(ValueError, match="bench_max_rows"):
+        dedup.embedding_decontaminate(corpus, bench, bench_max_rows=3)
+
+
 def test_gopher_rules_flags_each_planted_failure_mode(spark, docs):
     """One crafted doc per Gopher rule failure + one clean doc: each planted
     doc must fail exactly its own rule, the clean doc must pass all five,
