@@ -71,6 +71,7 @@ HEADLINE = [
     "q85_gopher_rules",
     "q86_nb_quality",
     "q87_embedding_decontaminate",
+    "q88_duplicate_spans",
 ]
 
 

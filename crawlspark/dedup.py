@@ -1262,6 +1262,74 @@ def semdedup(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Exact duplicate-substring spans (the ExactSubstr criterion of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed as n-gram runs): every maximal run of word positions whose
+    n-grams occur more than once in the corpus (across docs OR repeated
+    within one doc), with 1-based word offsets — the span-grain exact
+    complement to q74's sampled fingerprint pairing.
+
+    Returns (doc_id, span_start, span_end, n_grams): a span of duplicated
+    text covering words [span_start, span_end] built from n_grams
+    consecutive duplicated n-grams (so its word length is span_end −
+    span_start + 1 = n_grams + n − 1).
+
+    Shape (all linear, no self-join — the suffix-array subquadratic trick
+    isn't needed because fixed-n gram identity is enough for maximal-run
+    recovery): posexplode words → per-doc lead() window builds each
+    position's gram (the CLAUDE.md exploded-rows rule, never a HOF lambda)
+    → one gram-keyed hash agg for occurrence counts (a viral gram costs a
+    COUNT, never a pair join) → hits join back (AQE-sized) → per-doc
+    island grouping via pos − row_number() → one agg.
+
+    ``hash_fn="md5"`` (default) hashes the joined gram string — the DuckDB
+    oracle form; ``"xxh"`` hashes the word parts n-ary (no intermediate
+    string, the q31/q38 scale twin) — gram-identity is hash-equivalence in
+    both, so the emitted spans are identical (equality-tested)."""
+    if hash_fn not in ("md5", "xxh"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxh', got {hash_fn!r}")
+    w = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("p0", "w"),
+    ).filter(F.col("w") != "")
+    # 1-based position over the FILTERED word sequence (empty tokens from
+    # leading whitespace drop out on both sides identically)
+    bypos = Window.partitionBy("doc_id").orderBy("p0")
+    w = w.withColumn("pos", F.row_number().over(bypos))
+    parts = [F.col("w")] + [F.lead("w", i).over(bypos) for i in range(1, n)]
+    last = F.lead("w", n - 1).over(bypos)
+    if hash_fn == "md5":
+        gh = F.md5(F.concat_ws(" ", *parts))
+    else:
+        gh = F.xxhash64(*parts)
+    g = (
+        w.select("doc_id", "pos", gh.alias("gh"), last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    dup = g.groupBy("gh").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    h = g.join(dup.select("gh"), "gh").select("doc_id", "pos")
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        h.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .drop("grp")
+    )
+
+
 def embedding_decontaminate(
     emb: DataFrame,
     bench: DataFrame,

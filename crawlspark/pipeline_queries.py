@@ -909,6 +909,15 @@ def q87_embedding_decontaminate(spark, sf_dir):
     return dedup.embedding_decontaminate(corpus, bench, threshold=0.35)
 
 
+def q88_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-substring spans (dedup.duplicate_spans): maximal
+    runs of 5-grams occurring more than once corpus-wide, with 1-based word
+    offsets — the ExactSubstr (Lee et al. 2022) span-grain exact
+    complement to q74's sampled fingerprint pairs.  Linear plan: posexplode
+    + lead window + one gram agg + island grouping, no self-join."""
+    return dedup.duplicate_spans(read(spark, sf_dir, "documents"), n=5)
+
+
 def q84_semdedup(spark, sf_dir):
     """SemDeDup (dedup.semdedup): cluster embeddings with the q57-verified
     trained codebook, drop near-identical pairs WITHIN each cluster — the
@@ -976,6 +985,7 @@ QUERIES = {
     "q85_gopher_rules": q85_gopher_rules,
     "q86_nb_quality": q86_nb_quality,
     "q87_embedding_decontaminate": q87_embedding_decontaminate,
+    "q88_duplicate_spans": q88_duplicate_spans,
 }
 
 
@@ -1810,6 +1820,27 @@ def _gopher_rules_oracle_sql() -> str:
 
 
 ORACLE["q85_gopher_rules"] = _gopher_rules_oracle_sql()
+
+# q88: exact duplicate-substring spans (n=5).  The gram is the md5 of the
+# space-joined 5 words (hash_fn="md5" oracle form; the xxh n-ary scale twin
+# is span-equal, equality-tested); positions are 1-based over the
+# empty-filtered word sequence on both sides.
+ORACLE["q88_duplicate_spans"] = (
+    "WITH w AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws "
+    "FROM documents), "
+    "p AS (SELECT doc_id, ws, "
+    "unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS pos FROM w), "
+    "g AS (SELECT doc_id, pos, "
+    "md5(array_to_string(ws[pos:pos+4], ' ')) AS gh FROM p), "
+    "dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1), "
+    "h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)), "
+    "isl AS (SELECT doc_id, pos, pos - row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS grp FROM h) "
+    "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, "
+    "CAST(max(pos) + 4 AS BIGINT) AS span_end, "
+    "count(*) AS n_grams FROM isl GROUP BY doc_id, grp"
+)
 
 # q87: embedding-space decontamination.  Same list_cosine_similarity /
 # round(·,4) parity contract as q40; the bench slice is vec_id % 25 == 3.

@@ -135,6 +135,48 @@ def test_semdedup_drops_planted_within_cluster_duplicate(spark, emb):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_duplicate_spans_recovers_planted_passage_and_xxh_twin_matches(spark, docs):
+    """A 10-word passage planted into two otherwise-unique docs must come
+    back as exactly one maximal span per doc at the right word offsets
+    (ExactSubstr semantics); a within-doc repetition must also flag; and the
+    xxh n-ary scale twin must produce the identical span set on the real
+    corpus (gram identity is hash-equivalence under either hash)."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq1 = " ".join(f"u{i}" for i in range(6))
+    uniq2 = " ".join(f"v{i}" for i in range(4))
+    rep = "one two three four five"
+    crafted = spark.createDataFrame(
+        [
+            (1, f"{uniq1} {passage}"),            # passage at words 7..16
+            (2, f"{passage} {uniq2}"),            # passage at words 1..10
+            (3, f"{rep} x1 x2 x3 {rep}"),         # within-doc repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.duplicate_spans(crafted, n=5).toPandas()
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in out.itertuples()
+    }
+    assert (1, 7, 16, 6) in spans   # 10 words -> 6 overlapping 5-grams
+    assert (2, 1, 10, 6) in spans
+    assert {(3, 1, 5, 1), (3, 9, 13, 1)} <= spans
+    assert len(spans) == 4
+    a = (
+        dedup.duplicate_spans(docs, n=5)
+        .toPandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        dedup.duplicate_spans(docs, n=5, hash_fn="xxh")
+        .toPandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_embedding_decontaminate_flags_planted_bench_copy(spark, emb):
     """A corpus vector that IS a bench vector (cos=1.0) must be flagged,
     clean-by-construction corpus rows must not be, n_bench_hits must agree
