@@ -72,6 +72,7 @@ HEADLINE = [
     "q86_nb_quality",
     "q87_embedding_decontaminate",
     "q88_duplicate_spans",
+    "q89_excise_duplicate_spans",
 ]
 
 

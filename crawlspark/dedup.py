@@ -1262,6 +1262,19 @@ def semdedup(
     )
 
 
+def _word_spine(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, p0, w, pos): the lowercased whitespace words of each doc
+    with a 1-based position over the FILTERED word sequence (empty tokens
+    from leading whitespace drop out, identically to the oracles'
+    list_filter)."""
+    w = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("p0", "w"),
+    ).filter(F.col("w") != "")
+    bypos = Window.partitionBy("doc_id").orderBy("p0")
+    return w.withColumn("pos", F.row_number().over(bypos))
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1294,14 +1307,8 @@ def duplicate_spans(
     both, so the emitted spans are identical (equality-tested)."""
     if hash_fn not in ("md5", "xxh"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxh', got {hash_fn!r}")
-    w = df.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("p0", "w"),
-    ).filter(F.col("w") != "")
-    # 1-based position over the FILTERED word sequence (empty tokens from
-    # leading whitespace drop out on both sides identically)
+    w = _word_spine(df, text_col)
     bypos = Window.partitionBy("doc_id").orderBy("p0")
-    w = w.withColumn("pos", F.row_number().over(bypos))
     parts = [F.col("w")] + [F.lead("w", i).over(bypos) for i in range(1, n)]
     last = F.lead("w", n - 1).over(bypos)
     if hash_fn == "md5":
@@ -1327,6 +1334,95 @@ def duplicate_spans(
             F.count("*").cast("long").alias("n_grams"),
         )
         .drop("grp")
+    )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """ExactSubstr EXCISION (the action half of ``duplicate_spans``, the
+    way q75 is the action half of q68): emit every document's cleaned text
+    with duplicated spans cut out, keeping the FIRST occurrence of each
+    distinct span content — Lee et al. 2022 remove all-but-one copy of
+    each duplicated substring; the deterministic keeper here is the
+    lexicographically least (doc_id, span_start, span_end) per span
+    content key.
+
+    Identical maximal runs deduplicate to exactly one surviving copy;
+    partially-overlapping runs have different content keys and are
+    conservatively each kept once.  Word ranges of nearby runs may overlap
+    — excised positions are unioned (DISTINCT) before removal.
+
+    Returns (doc_id, clean_text, n_words_kept, n_words_excised) for EVERY
+    input doc (span-free docs pass through verbatim modulo whitespace
+    normalization; a fully-excised doc yields '').
+
+    Shape: ``duplicate_spans``'s linear plan + one spans-to-doc-array join
+    (F.slice for the content key — no per-span aggregation), one window
+    over the SPAN rows (tiny), a doc-equi range join spine×excised-spans,
+    and the F4 ordered-collect reassembly."""
+    spans = duplicate_spans(df, text_col=text_col, n=n, hash_fn=hash_fn)
+    ws_tbl = df.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    length = (F.col("span_end") - F.col("span_start") + 1).cast("int")
+    ck = spans.join(ws_tbl, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("span_start").cast("int"), length)
+            )
+        ).alias("ckey"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("ckey").orderBy("doc_id", "span_start", "span_end")
+    )
+    exc = ck.withColumn("rn", rn).filter(F.col("rn") > 1)
+    spine = _word_spine(df, text_col)
+    drop = (
+        spine.join(
+            exc,
+            (spine["doc_id"] == exc["doc_id"])
+            & (spine["pos"] >= exc["span_start"])
+            & (spine["pos"] <= exc["span_end"]),
+        )
+        .select(spine["doc_id"], spine["pos"])
+        .distinct()
+    )
+    kept = spine.join(drop, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("p"), F.col("w").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_words_kept"),
+    )
+    return (
+        ws_tbl.select("doc_id", F.size("ws").cast("long").alias("n_total"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_words_kept"), F.lit(0).cast("long")).alias(
+                "n_words_kept"
+            ),
+            (F.col("n_total") - F.coalesce(F.col("n_words_kept"), F.lit(0))).cast(
+                "long"
+            ).alias("n_words_excised"),
+        )
     )
 
 

@@ -918,6 +918,14 @@ def q88_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(read(spark, sf_dir, "documents"), n=5)
 
 
+def q89_excise_duplicate_spans(spark, sf_dir):
+    """ExactSubstr excision (dedup.excise_duplicate_spans): q88's
+    duplicated 5-gram runs cut out of every document, keeping the first
+    occurrence of each distinct span content — detect (q88) -> clean
+    (q89), the same pairing as q68 -> q75."""
+    return dedup.excise_duplicate_spans(read(spark, sf_dir, "documents"), n=5)
+
+
 def q84_semdedup(spark, sf_dir):
     """SemDeDup (dedup.semdedup): cluster embeddings with the q57-verified
     trained codebook, drop near-identical pairs WITHIN each cluster — the
@@ -986,6 +994,7 @@ QUERIES = {
     "q86_nb_quality": q86_nb_quality,
     "q87_embedding_decontaminate": q87_embedding_decontaminate,
     "q88_duplicate_spans": q88_duplicate_spans,
+    "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
 }
 
 
@@ -1820,6 +1829,46 @@ def _gopher_rules_oracle_sql() -> str:
 
 
 ORACLE["q85_gopher_rules"] = _gopher_rules_oracle_sql()
+
+# q89: ExactSubstr excision — q88's span CTEs + content-key keeper
+# (lexicographically least (doc_id, s, e) per md5'd span content), DISTINCT
+# excised positions, string_agg ORDER BY pos reassembly; every doc appears
+# (span-free verbatim modulo whitespace normalization, fully-excised -> '').
+ORACLE["q89_excise_duplicate_spans"] = (
+    "WITH w AS (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws "
+    "FROM documents), "
+    "p AS (SELECT doc_id, ws, "
+    "unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS pos FROM w), "
+    "g AS (SELECT doc_id, pos, "
+    "md5(array_to_string(ws[pos:pos+4], ' ')) AS gh FROM p), "
+    "dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1), "
+    "h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)), "
+    "isl AS (SELECT doc_id, pos, pos - row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS grp FROM h), "
+    "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e "
+    "FROM isl GROUP BY doc_id, grp), "
+    "ck AS (SELECT spans.doc_id, s, e, "
+    "md5(array_to_string(w.ws[s:e], ' ')) AS ckey "
+    "FROM spans JOIN w ON w.doc_id = spans.doc_id), "
+    "exc AS (SELECT doc_id, s, e FROM (SELECT doc_id, s, e, "
+    "row_number() OVER (PARTITION BY ckey ORDER BY doc_id, s, e) AS rn "
+    "FROM ck) WHERE rn > 1), "
+    "word AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM w), "
+    "word2 AS (SELECT doc_id, pos, ws[pos] AS wd FROM word), "
+    "drp AS (SELECT DISTINCT word2.doc_id, word2.pos FROM word2 "
+    "JOIN exc ON word2.doc_id = exc.doc_id "
+    "AND word2.pos >= exc.s AND word2.pos <= exc.e), "
+    "kept AS (SELECT word2.doc_id, word2.pos, word2.wd FROM word2 "
+    "ANTI JOIN drp ON word2.doc_id = drp.doc_id AND word2.pos = drp.pos), "
+    "agg AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY pos) AS clean_text, "
+    "count(*) AS n_words_kept FROM kept GROUP BY doc_id) "
+    "SELECT w.doc_id, coalesce(a.clean_text, '') AS clean_text, "
+    "CAST(coalesce(a.n_words_kept, 0) AS BIGINT) AS n_words_kept, "
+    "CAST(len(w.ws) - coalesce(a.n_words_kept, 0) AS BIGINT) "
+    "AS n_words_excised "
+    "FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id"
+)
 
 # q88: exact duplicate-substring spans (n=5).  The gram is the md5 of the
 # space-joined 5 words (hash_fn="md5" oracle form; the xxh n-ary scale twin

@@ -177,6 +177,40 @@ def test_duplicate_spans_recovers_planted_passage_and_xxh_twin_matches(spark, do
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_excise_duplicate_spans_keeps_first_occurrence_only(spark):
+    """ExactSubstr excision semantics on the q88 crafted corpus: the
+    lexicographically-first copy of each duplicated span survives (doc 1's
+    passage, doc 3's first repetition), every other copy is cut, span-free
+    words pass through in order, and a doc with no duplicated spans comes
+    back verbatim."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq1 = " ".join(f"u{i}" for i in range(6))
+    uniq2 = " ".join(f"v{i}" for i in range(4))
+    rep = "one two three four five"
+    crafted = spark.createDataFrame(
+        [
+            (1, f"{uniq1} {passage}"),
+            (2, f"{passage} {uniq2}"),
+            (3, f"{rep} x1 x2 x3 {rep}"),
+            (4, "totally unique words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        dedup.excise_duplicate_spans(crafted, n=5)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "clean_text"] == f"{uniq1} {passage}"
+    assert out.loc[1, "n_words_excised"] == 0
+    assert out.loc[2, "clean_text"] == uniq2
+    assert out.loc[2, "n_words_excised"] == 10
+    assert out.loc[3, "clean_text"] == f"{rep} x1 x2 x3"
+    assert out.loc[3, "n_words_excised"] == 5
+    assert out.loc[4, "clean_text"] == "totally unique words nothing shared here at all"
+    assert out.loc[4, "n_words_excised"] == 0
+
+
 def test_embedding_decontaminate_flags_planted_bench_copy(spark, emb):
     """A corpus vector that IS a bench vector (cos=1.0) must be flagged,
     clean-by-construction corpus rows must not be, n_bench_hits must agree
