@@ -926,6 +926,48 @@ def q89_excise_duplicate_spans(spark, sf_dir):
     return dedup.excise_duplicate_spans(read(spark, sf_dir, "documents"), n=5)
 
 
+def q90_retention_cohorts(spark, sf_dir):
+    """Weekly cohort-retention report over the events table — the classic
+    crawl/usage-analytics shape the engine's report family lacked: each
+    user's cohort is their first active ISO week; for every (cohort,
+    age_weeks) cell, distinct active users and the retention ratio vs the
+    cohort's age-0 size.
+
+    Scale shape: one user-keyed agg for cohorts (hash shuffle), an
+    AQE-sized join back to events, one (cohort, age) agg — and the
+    first_value window runs over the AGGREGATED cells only (cohorts ×
+    ages, tiny at any corpus size), never over raw events.  Week
+    truncation is Monday-based on both engines; age division is exact
+    (multiples of 7), so the only float is the final round(·,4) ratio."""
+    from pyspark.sql import Window
+
+    e = read(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    )
+    u = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = e.join(u, "user_id").select(
+        "user_id",
+        "cohort",
+        (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("long").alias(
+            "age_weeks"
+        ),
+    )
+    agg = act.groupBy("cohort", "age_weeks").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    w = Window.partitionBy("cohort").orderBy("age_weeks")
+    return agg.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "age_weeks",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.first("n_users").over(w).cast("double"),
+            4,
+        ).alias("retention"),
+    )
+
+
 def q84_semdedup(spark, sf_dir):
     """SemDeDup (dedup.semdedup): cluster embeddings with the q57-verified
     trained codebook, drop near-identical pairs WITHIN each cluster — the
@@ -995,6 +1037,7 @@ QUERIES = {
     "q87_embedding_decontaminate": q87_embedding_decontaminate,
     "q88_duplicate_spans": q88_duplicate_spans,
     "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
+    "q90_retention_cohorts": q90_retention_cohorts,
 }
 
 
@@ -1829,6 +1872,25 @@ def _gopher_rules_oracle_sql() -> str:
 
 
 ORACLE["q85_gopher_rules"] = _gopher_rules_oracle_sql()
+
+# q90: weekly cohort retention.  Monday week truncation on both engines;
+# age division exact (multiples of 7, CAST-direction-proof); first_value
+# window default frame = unbounded preceding..current row on both sides.
+ORACLE["q90_retention_cohorts"] = (
+    "WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk "
+    "FROM events), "
+    "u AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id), "
+    "act AS (SELECT e.user_id, cohort, "
+    "CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS age_weeks "
+    "FROM e JOIN u USING (user_id)), "
+    "agg AS (SELECT cohort, age_weeks, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM act GROUP BY cohort, age_weeks) "
+    "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, age_weeks, n_users, "
+    "round(CAST(n_users AS DOUBLE) / CAST(first_value(n_users) OVER "
+    "(PARTITION BY cohort ORDER BY age_weeks) AS DOUBLE), 4) AS retention "
+    "FROM agg"
+)
 
 # q89: ExactSubstr excision — q88's span CTEs + content-key keeper
 # (lexicographically least (doc_id, s, e) per md5'd span content), DISTINCT

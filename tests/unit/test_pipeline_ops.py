@@ -177,6 +177,38 @@ def test_duplicate_spans_recovers_planted_passage_and_xxh_twin_matches(spark, do
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_retention_cohorts_two_cohorts_with_churn(spark):
+    """Two cohorts with known churn: cohort A (users 1,2,3 first active
+    week of Jan 6 2025) keeps 2/3 in week 1 and 1/3 in week 2; cohort B
+    (user 4, week of Jan 13) churns immediately.  Exact cells + ratios."""
+    from crawlspark.pipeline_queries import q90_retention_cohorts
+
+    rows = [
+        (1, "2025-01-06"), (2, "2025-01-07"), (3, "2025-01-08"),  # A age 0
+        (1, "2025-01-14"), (2, "2025-01-15"),                     # A age 1
+        (1, "2025-01-21"),                                        # A age 2
+        (4, "2025-01-16"),                                        # B age 0
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, d) for i, (u, d) in enumerate(rows)],
+        "event_id long, user_id long, d string",
+    ).select("user_id", F.col("d").cast("timestamp").alias("ts"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(f"{td}/events.parquet")
+        out = q90_retention_cohorts(spark, td).toPandas()
+    cells = {
+        (r.cohort_week, r.age_weeks): (r.n_users, r.retention)
+        for r in out.itertuples()
+    }
+    assert cells[("2025-01-06", 0)] == (3, 1.0)
+    assert cells[("2025-01-06", 1)] == (2, round(2 / 3, 4))
+    assert cells[("2025-01-06", 2)] == (1, round(1 / 3, 4))
+    assert cells[("2025-01-13", 0)] == (1, 1.0)
+    assert len(cells) == 4
+
+
 def test_excise_duplicate_spans_keeps_first_occurrence_only(spark):
     """ExactSubstr excision semantics on the q88 crafted corpus: the
     lexicographically-first copy of each duplicated span survives (doc 1's
