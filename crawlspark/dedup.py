@@ -1262,14 +1262,18 @@ def semdedup(
     )
 
 
-def _word_spine(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, p0, w, pos): the lowercased whitespace words of each doc
-    with a 1-based position over the FILTERED word sequence (empty tokens
-    from leading whitespace drop out, identically to the oracles'
-    list_filter)."""
+def _word_spine(
+    df: DataFrame, text_col: str = "text", lower: bool = True
+) -> DataFrame:
+    """(doc_id, p0, w, pos): the whitespace words of each doc (lowercased
+    by default — the gram-identity convention; ``lower=False`` preserves
+    case for reassembly, with IDENTICAL positions since lowercasing never
+    touches whitespace) with a 1-based position over the FILTERED word
+    sequence (empty tokens from leading whitespace drop out, identically
+    to the oracles' list_filter)."""
+    t = F.lower(F.col(text_col)) if lower else F.col(text_col)
     w = df.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("p0", "w"),
+        "doc_id", F.posexplode(F.split(t, r"\s+")).alias("p0", "w")
     ).filter(F.col("w") != "")
     bypos = Window.partitionBy("doc_id").orderBy("p0")
     return w.withColumn("pos", F.row_number().over(bypos))
@@ -1357,8 +1361,11 @@ def excise_duplicate_spans(
     — excised positions are unioned (DISTINCT) before removal.
 
     Returns (doc_id, clean_text, n_words_kept, n_words_excised) for EVERY
-    input doc (span-free docs pass through verbatim modulo whitespace
-    normalization; a fully-excised doc yields '').
+    input doc (span-free docs pass through verbatim — ORIGINAL CASE —
+    modulo whitespace normalization; a fully-excised doc yields '').
+    Span DETECTION and content keys are case-insensitive (the gram-identity
+    convention); the emitted text is rebuilt from the case-preserving word
+    spine at the same positions.
 
     Shape: ``duplicate_spans``'s linear plan + one spans-to-doc-array join
     (F.slice for the content key — no per-span aggregation), one window
@@ -1385,14 +1392,25 @@ def excise_duplicate_spans(
     rn = F.row_number().over(
         Window.partitionBy("ckey").orderBy("doc_id", "span_start", "span_end")
     )
-    exc = ck.withColumn("rn", rn).filter(F.col("rn") > 1)
-    spine = _word_spine(df, text_col)
+    # rename the excised-span columns so the spine join predicate is
+    # unambiguous (both frames descend from df — an unrenamed doc_id would
+    # lean on Spark's dataset-id self-join heuristic)
+    exc = (
+        ck.withColumn("rn", rn)
+        .filter(F.col("rn") > 1)
+        .select(
+            F.col("doc_id").alias("e_doc_id"),
+            F.col("span_start").alias("e_start"),
+            F.col("span_end").alias("e_end"),
+        )
+    )
+    spine = _word_spine(df, text_col, lower=False)
     drop = (
         spine.join(
             exc,
-            (spine["doc_id"] == exc["doc_id"])
-            & (spine["pos"] >= exc["span_start"])
-            & (spine["pos"] <= exc["span_end"]),
+            (spine["doc_id"] == exc["e_doc_id"])
+            & (spine["pos"] >= exc["e_start"])
+            & (spine["pos"] <= exc["e_end"]),
         )
         .select(spine["doc_id"], spine["pos"])
         .distinct()
@@ -1467,6 +1485,14 @@ def embedding_decontaminate(
         (int(r[0]), list(r[1]))
         for r in bench.select(id_col, vec_col).collect()
     )
+    if not b_rows:
+        # an empty eval slice means nothing can be contaminated — return
+        # the all-clean verdict instead of crashing the matrix build
+        return emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(0).cast("long").alias("n_bench_hits"),
+            F.lit(False).alias("contaminated"),
+        )
     b_ids = np.array([i for i, _ in b_rows], dtype=np.int64)
     B = np.array([v for _, v in b_rows], dtype=np.float64)
     Bn = B / np.linalg.norm(B, axis=1, keepdims=True)

@@ -1845,7 +1845,8 @@ def _gopher_rules_oracle_sql() -> str:
     nw = "CAST(greatest(len(ws), 1) AS DOUBLE)"
     return (
         "WITH w AS (SELECT doc_id, lower(text) AS t, "
-        "string_split_regex(lower(text), '\\s+') AS ws FROM documents), "
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') "
+        "AS ws FROM documents), "
         "s AS (SELECT doc_id, len(ws) AS n_words, "
         "round(CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS DOUBLE) "
         f"/ {nw}, 4) AS mean_word_len, "
@@ -1916,7 +1917,12 @@ ORACLE["q89_excise_duplicate_spans"] = (
     "exc AS (SELECT doc_id, s, e FROM (SELECT doc_id, s, e, "
     "row_number() OVER (PARTITION BY ckey ORDER BY doc_id, s, e) AS rn "
     "FROM ck) WHERE rn > 1), "
-    "word AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM w), "
+    # reassembly uses the ORIGINAL-CASE words (identical positions:
+    # lowercasing never touches whitespace)
+    "wr AS (SELECT doc_id, "
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+    "FROM documents), "
+    "word AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM wr), "
     "word2 AS (SELECT doc_id, pos, ws[pos] AS wd FROM word), "
     "drp AS (SELECT DISTINCT word2.doc_id, word2.pos FROM word2 "
     "JOIN exc ON word2.doc_id = exc.doc_id "

@@ -447,9 +447,11 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     HOF lambda doing per-element regex work (the CLAUDE.md transform() trap):
     per-word facts are derived from whole-text regexp counts and set
     intersections instead.  Ratios are exact divisions rounded to 4 — the
-    DuckDB mirror reproduces every value."""
+    DuckDB mirror reproduces every value.  Empty split tokens (leading /
+    trailing whitespace artifacts) are filtered before counting, so padded
+    documents can't inflate n_words past a bound."""
     t = F.lower(F.col(text_col))
-    w = words(F.col(text_col))
+    w = F.filter(words(F.col(text_col)), lambda x: x != "")
     n_words = F.size(w)
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     # mean word length over non-whitespace chars (char count / word count)
@@ -524,7 +526,7 @@ def nb_quality_scores(
     w = df.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("label"), F.lit(-1)).alias("lab"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        F.explode(words(F.col(text_col))).alias("w"),
     ).filter(F.col("w") != "")
     vocab = w.filter(F.col("lab") >= 0).groupBy("w").agg(
         F.sum(F.when(F.col("lab") == 1, 1).otherwise(0)).cast("long").alias("n1"),

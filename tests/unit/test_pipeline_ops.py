@@ -224,7 +224,8 @@ def test_excise_duplicate_spans_keeps_first_occurrence_only(spark):
             (1, f"{uniq1} {passage}"),
             (2, f"{passage} {uniq2}"),
             (3, f"{rep} x1 x2 x3 {rep}"),
-            (4, "totally unique words nothing shared here at all"),
+            (4, "Totally UNIQUE words Nothing shared HERE at all"),
+            (5, f"Mixed CASE prefix {passage.upper()}"),
         ],
         "doc_id long, text string",
     )
@@ -239,8 +240,13 @@ def test_excise_duplicate_spans_keeps_first_occurrence_only(spark):
     assert out.loc[2, "n_words_excised"] == 10
     assert out.loc[3, "clean_text"] == f"{rep} x1 x2 x3"
     assert out.loc[3, "n_words_excised"] == 5
-    assert out.loc[4, "clean_text"] == "totally unique words nothing shared here at all"
+    # ORIGINAL case preserved for surviving words (detection is
+    # case-insensitive: doc 5's uppercased passage IS a duplicate of doc
+    # 1's and gets excised, but its kept prefix keeps its casing)
+    assert out.loc[4, "clean_text"] == "Totally UNIQUE words Nothing shared HERE at all"
     assert out.loc[4, "n_words_excised"] == 0
+    assert out.loc[5, "clean_text"] == "Mixed CASE prefix"
+    assert out.loc[5, "n_words_excised"] == 10
 
 
 def test_embedding_decontaminate_flags_planted_bench_copy(spark, emb):
@@ -274,34 +280,59 @@ def test_embedding_decontaminate_flags_planted_bench_copy(spark, emb):
     assert (got == want).all()
     with pytest.raises(ValueError, match="bench_max_rows"):
         dedup.embedding_decontaminate(corpus, bench, bench_max_rows=3)
+    # an EMPTY eval slice returns the all-clean verdict, never a numpy
+    # crash in the bench-matrix build
+    empty = bench.filter(F.col("vec_id") < -1)
+    res = dedup.embedding_decontaminate(corpus, empty).toPandas()
+    assert (~res["contaminated"]).all()
+    assert (res["n_bench_hits"] == 0).all()
+    assert len(res) == corpus.count()
 
 
 def test_gopher_rules_flags_each_planted_failure_mode(spark, docs):
-    """One crafted doc per Gopher rule failure + one clean doc: each planted
-    doc must fail exactly its own rule, the clean doc must pass all five,
-    and over the real corpus BOTH outcomes of `passes` must occur (the
-    thresholds actually separate at this SF)."""
-    good = "the quick brown fox jumps over a lazy dog and then " * 10
+    """One crafted doc per Gopher rule, engineered to fail EXACTLY that
+    rule (every filler satisfies the other four bounds); a clean doc passes
+    all five; a whitespace-padded 49-word doc must NOT be inflated past the
+    word-count bound (empty split tokens are filtered); and over the real
+    corpus BOTH outcomes of `passes` occur."""
+    stops = "the a of in"
     crafted = spark.createDataFrame(
         [
-            (1, good),                                   # passes everything
-            (2, "the a short doc"),                      # < 50 words
-            (3, ("# " * 30 + "the a of and " * 20)),     # symbol ratio > 0.1
-            (4, ("11 22 33 44 " * 20 + "the a of in")),  # alpha frac < 0.8
-            (5, " ".join(["zzz"] * 80)),                 # < 2 stopwords
+            (1, "the quick brown fox jumps over a lazy dog and then " * 10),
+            (2, "the a short doc"),                 # only word count (4)
+            (3, f"{stops} " + "data# " * 56),       # only symbol ratio
+            (4, "11 " * 15 + f"{stops} " + "word " * 41),  # only alpha frac
+            (5, " ".join(["zzzz"] * 60)),           # only stopwords
+            (6, f"{stops} " + "ab " * 56),          # only mean word len
+            (7, "   " + "word " * 45 + stops + "   "),  # 49 words, padded
         ],
         "doc_id long, text string",
     )
     out = textproc.gopher_rules(crafted).toPandas().set_index("doc_id")
-    assert bool(out.loc[1, "passes"])
-    assert not bool(out.loc[2, "ok_word_count"])
-    assert not bool(out.loc[3, "ok_symbol_ratio"])
-    assert not bool(out.loc[4, "ok_alpha_words"])
-    assert not bool(out.loc[5, "ok_stopwords"])
-    # planted docs fail ONLY their own rule (word count aside, which the
-    # fillers deliberately satisfy)
-    for rule in ("ok_symbol_ratio", "ok_alpha_words", "ok_stopwords"):
-        assert bool(out.loc[1, rule])
+    rules = (
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_alpha_words",
+        "ok_stopwords",
+    )
+    assert bool(out.loc[1, "passes"]) and all(bool(out.loc[1, r]) for r in rules)
+    planted = {
+        2: "ok_word_count",
+        3: "ok_symbol_ratio",
+        4: "ok_alpha_words",
+        5: "ok_stopwords",
+        6: "ok_mean_word_len",
+    }
+    for doc_id, failing in planted.items():
+        assert not bool(out.loc[doc_id, failing]), (doc_id, failing)
+        assert not bool(out.loc[doc_id, "passes"])
+        for other in rules:
+            if other != failing:
+                assert bool(out.loc[doc_id, other]), (doc_id, other)
+    # padded doc: 49 REAL words — empty tokens must not push it over 50
+    assert out.loc[7, "n_words"] == 49
+    assert not bool(out.loc[7, "ok_word_count"])
     corpus = textproc.gopher_rules(docs).toPandas()
     assert corpus["passes"].any() and (~corpus["passes"]).any()
 
