@@ -968,6 +968,55 @@ def q90_retention_cohorts(spark, sf_dir):
     )
 
 
+def q91_funnel(spark, sf_dir):
+    """Strictly-ordered funnel conversion over events (view -> click ->
+    purchase): a user reaches a stage only via an event AFTER their
+    earliest previous-stage event (min-ts chaining per stage — the
+    sequential-pattern report shape the engine's family lacked).  Returns
+    one row per stage: distinct users + conversion vs stage 1.
+
+    Scale shape: each stage is a user-keyed min agg; the chain joins are
+    all on user_id (co-partitioned with the aggs, AQE-sized); the final
+    counts are three 1-row reductions and the base rides the q29
+    1-row-agg crossJoin(broadcast) idiom — no window over raw events, no
+    driver count."""
+    e = read(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    s = (
+        v.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(c.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionByName(p.select(F.lit("3_purchase").alias("stage"), "user_id"))
+        .groupBy("stage")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    base = v.agg(F.count("*").cast("double").alias("n1"))
+    return s.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("n1"), 4).alias(
+            "conversion"
+        ),
+    )
+
+
 def q84_semdedup(spark, sf_dir):
     """SemDeDup (dedup.semdedup): cluster embeddings with the q57-verified
     trained codebook, drop near-identical pairs WITHIN each cluster — the
@@ -1038,6 +1087,7 @@ QUERIES = {
     "q88_duplicate_spans": q88_duplicate_spans,
     "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
     "q90_retention_cohorts": q90_retention_cohorts,
+    "q91_funnel": q91_funnel,
 }
 
 
@@ -1873,6 +1923,24 @@ def _gopher_rules_oracle_sql() -> str:
 
 
 ORACLE["q85_gopher_rules"] = _gopher_rules_oracle_sql()
+
+# q91: strictly-ordered funnel.  Per-stage min-ts chaining; only counts
+# cross the engine boundary (no timestamp columns in the output).
+ORACLE["q91_funnel"] = (
+    "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id) "
+    "WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id) "
+    "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id), "
+    "s AS (SELECT '1_view' AS stage, count(*) AS n_users FROM v "
+    "UNION ALL SELECT '2_click', count(*) FROM c "
+    "UNION ALL SELECT '3_purchase', count(*) FROM p), "
+    "base AS (SELECT count(*) AS n1 FROM v) "
+    "SELECT stage, CAST(n_users AS BIGINT) AS n_users, "
+    "round(CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE), 4) AS conversion "
+    "FROM s, base"
+)
 
 # q90: weekly cohort retention.  Monday week truncation on both engines;
 # age division exact (multiples of 7, CAST-direction-proof); first_value

@@ -177,6 +177,39 @@ def test_duplicate_spans_recovers_planted_passage_and_xxh_twin_matches(spark, do
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_funnel_enforces_strict_event_ordering(spark):
+    """Funnel semantics: user 1 completes view<click<purchase; user 2's
+    click PRECEDES their first view so they stall at stage 1; user 3
+    clicks after viewing but purchases BEFORE clicking, stalling at stage
+    2; user 4 never views (absent from every stage)."""
+    from crawlspark.pipeline_queries import q91_funnel
+
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 50),
+        (3, "view", 10), (3, "purchase", 15), (3, "click", 20),
+        (4, "click", 10), (4, "purchase", 20),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, m long"
+    ).select(
+        "user_id",
+        "event_type",
+        F.timestamp_seconds(F.col("m") * 60).alias("ts"),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(f"{td}/events.parquet")
+        out = q91_funnel(spark, td).toPandas().set_index("stage")
+    assert out.loc["1_view", "n_users"] == 3      # users 1,2,3
+    assert out.loc["2_click", "n_users"] == 2     # users 1,3 (2's click too early)
+    assert out.loc["3_purchase", "n_users"] == 1  # user 1 only
+    assert out.loc["1_view", "conversion"] == 1.0
+    assert out.loc["2_click", "conversion"] == round(2 / 3, 4)
+    assert out.loc["3_purchase", "conversion"] == round(1 / 3, 4)
+
+
 def test_retention_cohorts_two_cohorts_with_churn(spark):
     """Two cohorts with known churn: cohort A (users 1,2,3 first active
     week of Jan 6 2025) keeps 2/3 in week 1 and 1/3 in week 2; cohort B

@@ -188,6 +188,7 @@ def test_no_query_plans_a_cartesian_product(spark):
         "q72_revisit_priority",  # 1-row now-ts crossJoin(broadcast)
         "q80_bm25",              # 1-row n_docs/avgdl crossJoin(broadcast)
         "q86_nb_quality",        # 1-row scalars/priors crossJoin(broadcast)
+        "q91_funnel",            # 1-row stage-1 base crossJoin(broadcast)
     }
     offenders, bnlj_new = [], []
     for k, fn in sorted(m.queries().items()):
