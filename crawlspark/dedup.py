@@ -256,6 +256,66 @@ def jaccard_stop_shingle_stats(
     return bucket_cap_stats(shingle_hashes(df, text_col, n), ["sh"], max_df)
 
 
+def cocitation_pairs(
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "sh",
+    min_shared: int = 2,
+    max_df: int = 20,
+    skew: str = "window",
+) -> DataFrame:
+    """Bibliographic-coupling pairs over any (entity, key) edge table —
+    Kessler 1963's coupling / Small 1973's co-citation, the web-graph
+    similarity behind 'docs that cite the same pages are related': entity
+    pairs sharing at least ``min_shared`` DISTINCT keys, with the key-set
+    Jaccard.  For a link graph pass (doc_id, dst_url) edges; flipping the
+    roles (dst as entity, src as key) gives co-citation proper.
+
+    Returns (doc_a, doc_b, n_a, n_b, n_shared, link_jaccard), doc_a < doc_b.
+
+    Single-pass ``_shared_key_pairs`` core (one shuffle on the key, never a
+    two-sided self-join); ubiquitous keys (df > max_df — a nav link every
+    page carries) are stop-cut before any doc list is collected, the same
+    hot-key contract as jaccard_pairs, observable via
+    ``cocitation_stop_key_stats``."""
+    e = edges.select(
+        F.col(id_col).alias("doc_id"), F.col(key_col).alias("sh")
+    ).distinct()
+    sized = e.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    pairs = _shared_key_pairs(sized, max_df, skew)
+    union = (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+    return (
+        pairs.filter(F.col("n_shared") >= min_shared)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(F.col("n_shared").cast("double") / union, 4).alias(
+                "link_jaccard"
+            ),
+        )
+    )
+
+
+def cocitation_stop_key_stats(
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "sh",
+    max_df: int = 20,
+) -> DataFrame:
+    """Observability twin of ``cocitation_pairs``'s max_df stop-key cut (no
+    silent caps): a 'bucket' is a distinct key, max_bucket_n the hottest
+    key's entity frequency."""
+    e = edges.select(
+        F.col(id_col).alias("doc_id"), F.col(key_col).alias("sh")
+    ).distinct()
+    return bucket_cap_stats(e, ["sh"], max_df)
+
+
 def fingerprint_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",

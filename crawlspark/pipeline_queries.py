@@ -1017,6 +1017,21 @@ def q91_funnel(spark, sf_dir):
     )
 
 
+def q92_link_coupling(spark, sf_dir):
+    """Bibliographic coupling over the q64 link graph
+    (dedup.cocitation_pairs): doc pairs sharing >= 2 distinct outbound
+    canonical URLs, with the link-set Jaccard — the web-graph relatedness
+    signal (Kessler 1963).  The ubiquitous external link (df ~ n/3) is
+    stop-cut by max_df=20, the jaccard hot-key contract; the oracle
+    reuses q64's CTE chain verbatim so the two cannot drift."""
+    links = q64_link_extraction(spark, sf_dir)
+    return dedup.cocitation_pairs(
+        links.select("doc_id", F.col("url_canon").alias("sh")),
+        min_shared=2,
+        max_df=20,
+    )
+
+
 def q84_semdedup(spark, sf_dir):
     """SemDeDup (dedup.semdedup): cluster embeddings with the q57-verified
     trained codebook, drop near-identical pairs WITHIN each cluster — the
@@ -1088,6 +1103,7 @@ QUERIES = {
     "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
     "q90_retention_cohorts": q90_retention_cohorts,
     "q91_funnel": q91_funnel,
+    "q92_link_coupling": q92_link_coupling,
 }
 
 
@@ -1859,6 +1875,30 @@ WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
 
 ORACLE["q77_minhash_lsh_md5"] = _minhash_md5_oracle_sql()
 ORACLE["q78_simhash_md5"] = _simhash_md5_oracle_sql()
+
+# q92: bibliographic coupling — composes q64's CTE chain VERBATIM (the
+# q38/q74 shared-CTE discipline) + distinct edges, the max_df=20 stop-key
+# cut, and the shared-key pair agg with link-set Jaccard.
+_Q92_TAIL = (
+    ", l1 AS (SELECT DISTINCT doc_id, url_canon AS sh FROM r), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM l1 GROUP BY doc_id), "
+    "keep AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM l1 GROUP BY sh) "
+    "WHERE c <= 20), "
+    "shr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "count(*) AS n_shared FROM l1 a JOIN l1 b USING (sh) JOIN keep USING (sh) "
+    "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, CAST(sa.n_sh AS BIGINT) AS n_a, "
+    "CAST(sb.n_sh AS BIGINT) AS n_b, CAST(n_shared AS BIGINT) AS n_shared, "
+    "round(CAST(n_shared AS DOUBLE) "
+    "/ CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 4) AS link_jaccard "
+    "FROM shr JOIN sizes sa ON sa.doc_id = shr.doc_a "
+    "JOIN sizes sb ON sb.doc_id = shr.doc_b WHERE n_shared >= 2"
+)
+_Q64_FINAL_SELECT = " SELECT doc_id, href, url_canon FROM r"
+assert _Q64_FINAL_SELECT in ORACLE["q64_link_extraction"]
+ORACLE["q92_link_coupling"] = ORACLE["q64_link_extraction"].replace(
+    _Q64_FINAL_SELECT, _Q92_TAIL
+)
 
 
 def _semdedup_oracle_sql(threshold: float = 0.35) -> str:

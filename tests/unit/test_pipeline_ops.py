@@ -177,6 +177,31 @@ def test_duplicate_spans_recovers_planted_passage_and_xxh_twin_matches(spark, do
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_cocitation_pairs_couples_by_shared_keys_and_cuts_ubiquitous(spark):
+    """Bibliographic coupling on a crafted edge table: A and B share
+    {k1, k2} -> one pair with n_shared=2 and jaccard 2/(4+3-2)=0.4; the
+    nav link every doc carries (df=3 > max_df=2) is stop-cut so it couples
+    nothing; C shares only the nav link and pairs with nobody.  The
+    cap-stats twin must report exactly the cut."""
+    edges = spark.createDataFrame(
+        [("A", k) for k in ("k1", "k2", "k3", "nav")]
+        + [("B", k) for k in ("k1", "k2", "nav")]
+        + [("C", k) for k in ("k9", "nav")],
+        "doc_id string, sh string",
+    )
+    out = dedup.cocitation_pairs(edges, min_shared=2, max_df=2).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.doc_a, r.doc_b) == ("A", "B")
+    assert r.n_a == 4 and r.n_b == 3 and r.n_shared == 2
+    assert r.link_jaccard == 0.4
+    stats = dedup.cocitation_stop_key_stats(edges, max_df=2).toPandas().iloc[0]
+    assert stats.n_rows == 9
+    assert stats.rows_dropped == 3       # the nav key's three edges
+    assert stats.buckets_dropped == 1
+    assert stats.max_bucket_n == 3
+
+
 def test_funnel_enforces_strict_event_ordering(spark):
     """Funnel semantics: user 1 completes view<click<purchase; user 2's
     click PRECEDES their first view so they stall at stage 1; user 3
